@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship parse→enrich→route→aggregate pipeline;
+`queries()` exposes each implemented operator (SURVEY.md §2 IDs in the names'
+docstrings); `oracle_sql()` gives the DuckDB twin for the correctness gate.
+
+Pipeline queries run over the deterministic synthetic transcripts table
+(BASELINE.json input_hint) rendered by the same formula in both engines —
+see openfactverification_spark/sources/transcripts.py. Operator-coverage
+queries run over the driver's parquet tables in `sf_dir`.
 """
 
 from __future__ import annotations
@@ -13,26 +16,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from openfactverification_spark.entry_queries import (
+    ORACLE_N_TURNS,
+    build_oracle_sql,
+    build_queries,
+)
+from openfactverification_spark.plans.pipeline import build_pipeline
+from openfactverification_spark.sources.transcripts import transcripts_df
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full pipeline over a 4096-turn transcripts table → per-sink
+    summary (route, role, counts, avg factuality)."""
+    result = build_pipeline(spark, transcripts_df(spark, ORACLE_N_TURNS))
+    return result.summary
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return build_oracle_sql()

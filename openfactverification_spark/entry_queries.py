@@ -1,0 +1,97 @@
+"""Registry backing __spark_entry__.queries() / oracle_sql().
+
+Each entry: a (spark, sf_dir) -> DataFrame callable plus a DuckDB oracle SQL
+string. Pipeline queries synthesize transcripts from the dual-dialect formula;
+operator-coverage queries read the sf_dir parquet tables (pre-registered as DuckDB
+views by the driver).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregate as agg_ops
+from .operators import parse as parse_ops
+from .plans import oracle as oracle_mod
+from .plans.pipeline import build_pipeline
+from .sources.transcripts import transcripts_df
+
+ORACLE_N_TURNS = 4096
+
+QuerieFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ----------------------------------------------------------------------------------
+# Pipeline queries (transcripts; oracle = dual-dialect formula)
+# ----------------------------------------------------------------------------------
+
+def _pipe(spark: SparkSession):
+    return build_pipeline(spark, transcripts_df(spark, ORACLE_N_TURNS))
+
+
+def q_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe(spark).summary
+
+
+def q_pipeline_summary_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe(spark).summary_per_conv
+
+
+def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe(spark).verdicts
+
+
+def q_pipeline_routed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipe(spark).routed.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_pipeline_parse_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = parse_ops.parse_turns(transcripts_df(spark, ORACLE_N_TURNS))
+    return records.filter(F.col("record_kind") == "claim").select(
+        "conv_id", "turn_idx", "claim_idx", "claim", "span_start", "span_end"
+    )
+
+
+def q_pipeline_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = parse_ops.parse_turns(transcripts_df(spark, ORACLE_N_TURNS))
+    return parse_ops.span_reconstruction(records)
+
+
+def q_pipeline_tool_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    routed = _pipe(spark).routed
+    return (
+        routed.filter(F.col("route") == "tool_trace")
+        .groupBy("tool_name", "tool_category", "tool_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+PIPELINE_QUERIES: dict[str, QuerieFn] = {
+    "pipeline_summary": q_pipeline_summary,
+    "pipeline_summary_per_conv": q_pipeline_summary_per_conv,
+    "pipeline_verdicts": q_pipeline_verdicts,
+    "pipeline_routed_counts": q_pipeline_routed_counts,
+    "pipeline_parse_claims": q_pipeline_parse_claims,
+    "pipeline_span_invariant": q_pipeline_span_invariant,
+    "pipeline_tool_trace": q_pipeline_tool_trace,
+}
+
+
+def build_queries() -> dict[str, QuerieFn]:
+    out: dict[str, QuerieFn] = {}
+    out.update(PIPELINE_QUERIES)
+    from .testdata_queries import TESTDATA_QUERIES
+
+    out.update(TESTDATA_QUERIES)
+    return out
+
+
+def build_oracle_sql() -> dict[str, str]:
+    out = dict(oracle_mod.oracle_queries(ORACLE_N_TURNS))
+    from .testdata_queries import TESTDATA_ORACLES
+
+    out.update(TESTDATA_ORACLES)
+    return out

@@ -1,0 +1,189 @@
+"""DuckDB-SQL oracle for the transcript pipeline.
+
+Mirrors parse → enrich → route → aggregate as one WITH-chain over the *same*
+deterministic transcripts formula (sources/transcripts.py renders both dialects
+from one set of constants). This gives the driver an independent engine computing
+the identical result — the correctness gate for every pipeline query.
+
+The oracle favors clarity over speed (window-function spans instead of the
+shuffle-free array trick) — result equality is the contract, not plan equality.
+"""
+
+from __future__ import annotations
+
+from ..operators.parse import MIN_SENT_LEN
+from ..sources.transcripts import (
+    DEFAULT_REASON,
+    checkworthy_labels_rows,
+    evidence_corpus_rows,
+    tool_metadata_rows,
+    transcripts_duckdb_sql,
+)
+
+TOOL_RE_SQL = r'^CALL (\w+)\(q="(.*)"\) -> (\w+)$'
+OPINION_RE_SQL = r"^(i think|i believe|in my opinion)\b"
+VAGUE_RE_SQL = r"^(he|she|it|they)\s"
+
+
+def _q(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_cte(name: str, cols: list[str], rows: list[tuple]) -> str:
+    vals = ",\n    ".join("(" + ", ".join(_q(v) for v in r) + ")" for r in rows)
+    return f"{name} AS (SELECT * FROM (VALUES\n    {vals}\n  ) t({', '.join(cols)}))"
+
+
+def pipeline_ctes(n_turns: int) -> str:
+    """The full WITH-chain: transcripts, records, enriched, routed."""
+    cw = _values_cte(
+        "cw_dim", ["claim_norm", "cw_label", "cw_reason"], checkworthy_labels_rows()
+    )
+    ev = _values_cte(
+        "ev_dim",
+        ["claim_norm", "rank", "url", "stance", "evidence_text"],
+        evidence_corpus_rows(),
+    )
+    tools = _values_cte(
+        "tool_dim",
+        ["tool_name", "tool_category", "tool_description"],
+        tool_metadata_rows(),
+    )
+
+    return f"""WITH transcripts AS (
+  {transcripts_duckdb_sql(n_turns)}
+),
+{cw},
+{ev},
+{tools},
+stance_dim AS (
+  SELECT claim_norm,
+         SUM(CASE WHEN stance = 'SUPPORTS' THEN 1 ELSE 0 END)::INT AS n_supports0,
+         SUM(CASE WHEN stance = 'REFUTES' THEN 1 ELSE 0 END)::INT AS n_refutes0,
+         COUNT(*)::INT AS n_evidence0
+  FROM ev_dim GROUP BY claim_norm
+),
+sentized AS (
+  SELECT *, string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS sents
+  FROM transcripts
+  WHERE NOT regexp_matches(text, {_q(TOOL_RE_SQL)})
+),
+claims0 AS (
+  SELECT conv_id, turn_idx, role, ts, text,
+         unnest(sents) AS claim,
+         CAST(unnest(range(0, len(sents))) AS INT) AS claim_idx
+  FROM sentized
+),
+records AS (
+  SELECT conv_id, turn_idx, role, ts, text, 'claim' AS record_kind, claim_idx, claim,
+         CAST(COALESCE(SUM(length(claim) + 1) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY claim_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS span_start,
+         CAST(COALESCE(SUM(length(claim) + 1) OVER (
+             PARTITION BY conv_id, turn_idx ORDER BY claim_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(claim) AS INT) AS span_end,
+         NULL::VARCHAR AS tool_name, NULL::VARCHAR AS tool_query, NULL::VARCHAR AS tool_status
+  FROM claims0
+  WHERE length(trim(claim)) >= {MIN_SENT_LEN}
+  UNION ALL BY NAME
+  SELECT conv_id, turn_idx, role, ts, text, 'tool_call' AS record_kind,
+         0 AS claim_idx, NULL::VARCHAR AS claim, NULL::INT AS span_start, NULL::INT AS span_end,
+         regexp_extract(text, {_q(TOOL_RE_SQL)}, 1) AS tool_name,
+         regexp_extract(text, {_q(TOOL_RE_SQL)}, 2) AS tool_query,
+         regexp_extract(text, {_q(TOOL_RE_SQL)}, 3) AS tool_status
+  FROM transcripts
+  WHERE regexp_matches(text, {_q(TOOL_RE_SQL)})
+),
+enriched AS (
+  SELECT r.*,
+         lower(r.claim) AS claim_norm,
+         CASE WHEN r.record_kind = 'claim' THEN COALESCE(
+           c.cw_label,
+           NOT (regexp_matches(lower(r.claim), {_q(OPINION_RE_SQL)})
+                OR regexp_matches(lower(r.claim), {_q(VAGUE_RE_SQL)}))
+           AND length(trim(lower(r.claim))) >= {MIN_SENT_LEN}
+         ) END AS checkworthy,
+         CASE WHEN r.record_kind = 'claim'
+              THEN COALESCE(c.cw_reason, {_q(DEFAULT_REASON)}) END AS reason,
+         COALESCE(s.n_supports0, 0) AS ns, COALESCE(s.n_refutes0, 0) AS nr,
+         COALESCE(s.n_evidence0, 0) AS ne,
+         t.tool_category AS tool_category0
+  FROM records r
+  LEFT JOIN cw_dim c ON lower(r.claim) = c.claim_norm
+  LEFT JOIN stance_dim s ON lower(r.claim) = s.claim_norm
+  LEFT JOIN tool_dim t ON r.tool_name = t.tool_name
+),
+enriched2 AS (
+  SELECT conv_id, turn_idx, role, ts, text, record_kind, claim_idx, claim,
+         span_start, span_end, tool_name, tool_query, tool_status, claim_norm,
+         checkworthy, reason,
+         CASE WHEN record_kind = 'claim' AND checkworthy THEN ns END AS n_supports,
+         CASE WHEN record_kind = 'claim' AND checkworthy THEN nr END AS n_refutes,
+         CASE WHEN record_kind = 'claim' AND checkworthy THEN ne END AS n_evidence,
+         CASE WHEN record_kind = 'claim' AND checkworthy AND (ns + nr) > 0
+              THEN ns::DOUBLE / (ns + nr) END AS factuality,
+         CASE WHEN record_kind <> 'claim' THEN NULL
+              WHEN NOT checkworthy THEN 'NOTHING_TO_CHECK'
+              WHEN (ns + nr) = 0 THEN 'NO_EVIDENCE'
+              ELSE 'SCORE' END AS factuality_tag,
+         CASE WHEN record_kind = 'tool_call'
+              THEN COALESCE(tool_category0, 'unknown') END AS tool_category
+  FROM enriched
+),
+routed AS (
+  SELECT *,
+         CASE WHEN record_kind = 'tool_call' THEN 'tool_trace'
+              WHEN NOT checkworthy THEN 'non_factual'
+              WHEN factuality_tag = 'SCORE' THEN 'verdict'
+              ELSE 'checkworthy' END AS route
+  FROM enriched2
+)"""
+
+
+def _summary_select(keys: str) -> str:
+    return f"""SELECT {keys},
+       COUNT(*)::BIGINT AS n_records,
+       SUM((record_kind = 'claim')::INT)::BIGINT AS n_claims,
+       SUM((record_kind = 'claim' AND checkworthy)::INT)::BIGINT AS n_checkworthy,
+       SUM((factuality_tag = 'SCORE')::INT)::BIGINT AS n_verified,
+       SUM((factuality_tag = 'SCORE' AND factuality = 1.0)::INT)::BIGINT AS n_supported,
+       SUM((factuality_tag = 'SCORE' AND factuality = 0.0)::INT)::BIGINT AS n_refuted,
+       SUM((factuality_tag = 'SCORE' AND factuality > 0.0 AND factuality < 1.0)::INT)::BIGINT
+         AS n_controversial,
+       SUM((tool_status = 'error')::INT)::BIGINT AS n_tool_errors,
+       ROUND(AVG(CASE WHEN factuality_tag = 'SCORE' THEN factuality END), 6) AS avg_factuality
+FROM routed GROUP BY {keys}"""
+
+
+def oracle_queries(n_turns: int) -> dict[str, str]:
+    """Final SELECTs keyed by query name (matches __spark_entry__.queries())."""
+    ctes = pipeline_ctes(n_turns)
+    return {
+        "pipeline_summary": f"{ctes}\n{_summary_select('route, role')}",
+        "pipeline_summary_per_conv": f"{ctes}\n{_summary_select('route, role, conv_id')}",
+        "pipeline_verdicts": f"""{ctes}
+SELECT conv_id, turn_idx, claim_idx, role, claim, checkworthy, reason,
+       n_supports, n_refutes, n_evidence, ROUND(factuality, 6) AS factuality,
+       factuality_tag, route
+FROM routed WHERE record_kind = 'claim'""",
+        "pipeline_routed_counts": f"""{ctes}
+SELECT route, COUNT(*)::BIGINT AS n FROM routed GROUP BY route""",
+        "pipeline_parse_claims": f"""{ctes}
+SELECT conv_id, turn_idx, claim_idx, claim, span_start, span_end
+FROM records WHERE record_kind = 'claim'""",
+        "pipeline_span_invariant": f"""{ctes}
+SELECT conv_id, turn_idx,
+       (string_agg(claim, ' ' ORDER BY claim_idx) = any_value(text)) AS spans_ok
+FROM records WHERE record_kind = 'claim'
+GROUP BY conv_id, turn_idx""",
+        "pipeline_tool_trace": f"""{ctes}
+SELECT tool_name, tool_category, tool_status, COUNT(*)::BIGINT AS n
+FROM routed WHERE route = 'tool_trace'
+GROUP BY tool_name, tool_category, tool_status""",
+    }
