@@ -1,0 +1,571 @@
+"""Dual-dialect SQL builders: each operator query is one template rendered for
+Spark SQL (executed through Catalyst — SQL API and DataFrame API produce the same
+plans) and for DuckDB (the driver's oracle). Rendering both dialects from one
+template makes the oracle an *independent engine* check, not a copy of the code.
+
+Dialect seams are isolated in the `D` helper; everything else is ANSI-ish SQL.
+"""
+
+from __future__ import annotations
+
+from ..functions import hashing as H
+
+
+class D:
+    """Dialect expression helpers. All array indices here are 0-based."""
+
+    def __init__(self, name: str):
+        assert name in ("spark", "duckdb")
+        self.name = name
+        self.spark = name == "spark"
+
+    # --- arrays -----------------------------------------------------------
+    def seq(self, a, b_incl, step=1) -> str:
+        if self.spark:
+            return f"sequence({a}, {b_incl}, {step})"
+        return f"range({a}, ({b_incl}) + 1, {step})"
+
+    def arr(self, items: list) -> str:
+        lits = ", ".join(str(x) for x in items)
+        return f"array({lits})" if self.spark else f"[{lits}]"
+
+    def elem(self, arr, idx0) -> str:
+        if self.spark:
+            return f"element_at({arr}, cast(({idx0}) as int) + 1)"
+        return f"list_extract({arr}, cast(({idx0}) as int) + 1)"
+
+    def alen(self, arr) -> str:
+        return f"size({arr})" if self.spark else f"len({arr})"
+
+    def ajoin(self, arr, sep="' '") -> str:
+        return (
+            f"array_join({arr}, {sep})" if self.spark else f"array_to_string({arr}, {sep})"
+        )
+
+    def aslice(self, arr, start0, length) -> str:
+        if self.spark:
+            return f"slice({arr}, ({start0}) + 1, {length})"
+        return f"list_slice({arr}, ({start0}) + 1, ({start0}) + {length})"
+
+    def adistinct(self, arr) -> str:
+        return f"array_distinct({arr})" if self.spark else f"list_distinct({arr})"
+
+    def transform(self, arr, var, body) -> str:
+        fn = "transform" if self.spark else "list_transform"
+        return f"{fn}({arr}, {var} -> {body})"
+
+    def afilter(self, arr, var, body) -> str:
+        fn = "filter" if self.spark else "list_filter"
+        return f"{fn}({arr}, {var} -> {body})"
+
+    def fold_sum(self, arr) -> str:
+        """Sequential left-fold double sum — bit-identical across engines."""
+        if self.spark:
+            return f"aggregate({arr}, cast(0 as double), (acc, x) -> acc + x)"
+        return f"list_sum({arr})"
+
+    # --- scalars ----------------------------------------------------------
+    def split_ws(self, s) -> str:
+        return f"split({s}, ' ')" if self.spark else f"string_split({s}, ' ')"
+
+    def xor(self, a, b) -> str:
+        return f"({a} ^ {b})" if self.spark else f"xor({a}, {b})"
+
+    def shr(self, x, n) -> str:
+        return f"shiftright({x}, {n})" if self.spark else f"({x} >> {n})"
+
+    def json_str(self, col, key) -> str:
+        if self.spark:
+            return f"get_json_object({col}, '$.{key}')"
+        return f"json_extract_string({col}, '$.{key}')"
+
+    def rlike(self, col, pat) -> str:
+        if self.spark:
+            return f"({col} rlike '{pat}')"
+        return f"regexp_matches({col}, '{pat}')"
+
+    def regexp_count(self, col, pat) -> str:
+        if self.spark:
+            return f"regexp_count({col}, '{pat}')"
+        return f"len(regexp_extract_all({col}, '{pat}'))"
+
+    def div(self, a, b) -> str:
+        return f"({a} div {b})" if self.spark else f"({a} // {b})"
+
+    def epoch_sec(self, ts) -> str:
+        return f"unix_timestamp({ts})" if self.spark else f"cast(floor(epoch({ts})) as bigint)"
+
+    def h7(self, expr) -> str:
+        return H.h7(expr, self.name)
+
+    def big(self, expr) -> str:
+        """sum() result normalization: DuckDB sums to HUGEINT; pin to BIGINT."""
+        return f"cast({expr} as bigint)"
+
+
+# ======================================================================================
+# Text / dedup building blocks
+# ======================================================================================
+
+def words_cte(d: D, text="text") -> str:
+    return d.split_ws(text)
+
+
+def shingles_expr(d: D, n: int = 3, text="text") -> str:
+    """Distinct word n-gram shingles of `text` as an array<string>."""
+    w = words_cte(d, text)
+    return d.adistinct(
+        d.transform(d.seq(0, f"{d.alen(w)} - {n}"), "i", d.ajoin(d.aslice(w, "i", n)))
+    )
+
+
+def doc_shingles_sql(d: D, n: int = 3) -> str:
+    """CTE body: (doc_id, shingle) exploded distinct shingles per document."""
+    sh = shingles_expr(d, n)
+    if d.spark:
+        return f"SELECT doc_id, explode({sh}) AS shingle FROM documents"
+    return f"SELECT doc_id, unnest({sh}) AS shingle FROM documents"
+
+
+# ======================================================================================
+# Queries — each returns one SQL string in dialect d
+# ======================================================================================
+
+def q_dedup_exact(d: D) -> str:
+    """Exact dedup by normalized text hash: keeper = min(doc_id) (SURVEY §4
+    'free win: dropDuplicates before enrich')."""
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))" if d.spark else (
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    )
+    return f"""
+SELECT md5({norm}) AS text_hash,
+       {d.big('min(doc_id)')} AS keeper_id,
+       {d.big('count(*)')} AS n_copies
+FROM documents GROUP BY md5({norm})"""
+
+
+def q_dedup_ngram_jaccard(d: D, n: int = 3, threshold: float = 0.18, max_df: int = 200) -> str:
+    """N-gram Jaccard near-dup pairs via shingle self-join. Shingles with document
+    frequency > max_df are dropped (stop-shingle cap — bounds the join fan-out at
+    scale; the 100TB path swaps this block for minhash_lsh)."""
+    return f"""
+WITH sh AS ({doc_shingles_sql(d, n)}),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
+),
+shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT {d.big('id_a')} AS id_a, {d.big('id_b')} AS id_b,
+       round(cast(n_common as double) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE cast(n_common as double) / (sa.sz + sb.sz - n_common) >= {threshold}"""
+
+
+def minhash_sig_cte(d: D, n: int = 3) -> str:
+    """CTE: per-doc MinHash signature columns mh0..mh{K-1}."""
+    h = d.h7("shingle")
+    mins = ",\n         ".join(
+        f"min({H.minhash_expr(k, h)}) AS mh{k}" for k in range(H.MINHASH_K)
+    )
+    return f"""sh AS ({doc_shingles_sql(d, n)}),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+def q_minhash_signatures(d: D) -> str:
+    cols = ", ".join(f"mh{k}" for k in range(H.MINHASH_K))
+    return f"WITH {minhash_sig_cte(d)}\nSELECT {d.big('doc_id')} AS doc_id, {cols} FROM sig"
+
+
+def q_dedup_minhash_lsh(d: D, threshold: float = 0.15) -> str:
+    """MinHash + LSH banding: band buckets -> candidate pairs -> exact-jaccard
+    verify. The banded join keys the shuffle on (band_idx, band_hash), so at scale
+    candidates ~ collisions, never all-pairs."""
+    rows_per_band = H.MINHASH_K // H.MINHASH_BANDS
+    band_selects = []
+    for b in range(H.MINHASH_BANDS):
+        parts = " || '_' || ".join(
+            f"cast(mh{b * rows_per_band + r} as {'string' if d.spark else 'varchar'})"
+            for r in range(rows_per_band)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_key FROM sig")
+    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {minhash_sig_cte(d)},
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT {d.big('v.id_a')} AS id_a, {d.big('v.id_b')} AS id_b,
+       round(cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common), 6) AS jaccard
+FROM verified v
+JOIN sizes sa ON sa.doc_id = v.id_a
+JOIN sizes sb ON sb.doc_id = v.id_b
+WHERE cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common) >= {threshold}"""
+
+
+def q_dedup_simhash(d: D, max_hamming: int = 6) -> str:
+    """SimHash near-dup: per-doc {bits}-bit simhash over word hashes, then pairs
+    with hamming distance <= max_hamming via bit_count(xor)."""
+    bits = H.SIMHASH_BITS
+    h = d.h7("word")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN ({d.shr('h', b)} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    explode_words = (
+        f"SELECT doc_id, explode({d.adistinct(words_cte(d))}) AS word FROM documents"
+        if d.spark
+        else f"SELECT doc_id, unnest({d.adistinct(words_cte(d))}) AS word FROM documents"
+    )
+    return f"""
+WITH w AS ({explode_words}),
+hashes AS (SELECT doc_id, {h} AS h FROM w),
+bitsum AS (
+  SELECT doc_id, {bit_sums}
+  FROM hashes GROUP BY doc_id
+),
+sim AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM bitsum)
+SELECT {d.big('a.doc_id')} AS id_a, {d.big('b.doc_id')} AS id_b,
+       cast(bit_count({d.xor('a.simhash', 'b.simhash')}) as int) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count({d.xor('a.simhash', 'b.simhash')}) <= {max_hamming}"""
+
+
+def q_doc_fingerprint(d: D, n: int = 4) -> str:
+    """Rolling-hash document fingerprint: min/max shingle hash + distinct-shingle
+    count (winnowing-style content signature)."""
+    return f"""
+WITH sh AS ({doc_shingles_sql(d, n)})
+SELECT {d.big('doc_id')} AS doc_id,
+       min({d.h7('shingle')}) AS fp_min,
+       max({d.h7('shingle')}) AS fp_max,
+       {d.big('count(*)')} AS n_shingles
+FROM sh GROUP BY doc_id"""
+
+
+def q_text_stats(d: D) -> str:
+    """Token counting + quality scoring (length, distinct ratio, stopword ratio)
+    — the text-analysis battery, all JVM-side expressions."""
+    w = words_cte(d)
+    n_tok = d.alen(w)
+    n_uniq = d.alen(d.adistinct(w))
+    stop = d.regexp_count("text", r"\\b(the|a|of|and|in)\\b" if d.spark else r"\b(the|a|of|and|in)\b")
+    return f"""
+SELECT {d.big('doc_id')} AS doc_id,
+       cast({n_tok} as int) AS n_tokens,
+       cast({n_uniq} as int) AS n_unique_tokens,
+       cast(length(text) as int) AS n_chars_measured,
+       round(cast({n_uniq} as double) / {n_tok}, 6) AS distinct_ratio,
+       cast({stop} as int) AS n_stopwords,
+       round(least(cast({n_tok} as double) / 50, cast(1 as double)) * 0.5
+             + (cast({n_uniq} as double) / {n_tok}) * 0.3
+             + least(cast({stop} as double) / {n_tok}, cast(0.2 as double)), 6) AS quality_score
+FROM documents"""
+
+
+def q_lang_id(d: D) -> str:
+    """Heuristic language ID vs the labeled lang column: confusion counts.
+    (The real signal at scale is char n-gram profiles in a pandas UDF; this is
+    the pure-SQL stopword-heuristic baseline.)"""
+    en_stop = d.regexp_count("text", r"\\b(the|a)\\b" if d.spark else r"\b(the|a)\b")
+    w = words_cte(d)
+    pred = f"CASE WHEN cast({en_stop} as double) / {d.alen(w)} >= 0.05 THEN 'en' ELSE 'other' END"
+    return f"""
+SELECT lang, {pred} AS predicted, {d.big('count(*)')} AS n
+FROM documents GROUP BY lang, {pred}"""
+
+
+def q_chunk_documents(d: D, size: int = 10, step: int = 8) -> str:
+    """P9 sliding-window chunking (reference base.py:201-235: passages of 10
+    sentences stepping 8) over words; pure array ops, no UDF."""
+    w = words_cte(d)
+    starts = d.seq(0, f"{d.alen(w)} - 1", step)
+    if d.spark:
+        expl = f"explode({starts}) AS start_word"
+        from_clause = f"(SELECT doc_id, text, {expl} FROM documents)"
+    else:
+        from_clause = f"(SELECT doc_id, text, unnest({starts}) AS start_word FROM documents)"
+    chunk = d.ajoin(d.aslice(w, "start_word", size))
+    return f"""
+SELECT {d.big('doc_id')} AS doc_id,
+       cast(start_word as int) AS start_word,
+       cast(least(start_word + {size}, {d.alen(w)}) as int) AS end_word,
+       {chunk} AS chunk_text
+FROM {from_clause} t"""
+
+
+# ======================================================================================
+# Embeddings: similarity search
+# ======================================================================================
+
+def _dot(d: D, a: str, b: str, dim: int = 64) -> str:
+    prods = d.transform(
+        d.seq(1, dim), "i",
+        f"cast({a}[i] as double) * cast({b}[i] as double)"
+        if not d.spark
+        else f"cast(element_at({a}, cast(i as int)) as double) * cast(element_at({b}, cast(i as int)) as double)",
+    )
+    return d.fold_sum(prods)
+
+
+def cosine_cte(d: D) -> str:
+    """CTE `nv`: embeddings with precomputed L2 norm (norm once, not per pair)."""
+    return f"""nv AS (
+  SELECT vec_id, label, embedding,
+         sqrt({_dot(d, 'embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)"""
+
+
+def q_embed_cosine_topk(d: D, k: int = 5, n_queries: int = 50) -> str:
+    """Brute-force cosine top-k neighbors for the first n_queries vectors —
+    the exact baseline ANN implementations are measured against. O(Q*N); the
+    scale path is q_embed_lsh_ann."""
+    cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    return f"""
+WITH {cosine_cte(d)},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cosine
+  FROM nv q JOIN nv c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
+       cosine, cast(rnk as int) AS rnk
+FROM ranked WHERE rnk <= {k}"""
+
+
+def q_embed_dup_pairs(d: D, threshold: float = 0.40) -> str:
+    """Embedding-cosine near-duplicate pairs (all-pairs at test scale; LSH-bucketed
+    at production scale)."""
+    cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH {cosine_cte(d)}
+SELECT {d.big('a.vec_id')} AS id_a, {d.big('b.vec_id')} AS id_b,
+       round({cos}, 6) AS cosine
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE {cos} >= {threshold}"""
+
+
+def lsh_bucket_expr(d: D, emb: str = "embedding") -> str:
+    """Random-hyperplane LSH bucket id: sign bit per plane, {P} planes -> int."""
+    bits = []
+    for p, plane in enumerate(H.HYPERPLANES):
+        dot = _dot(d, emb, d.arr(plane))
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def q_embed_lsh_ann(d: D, k: int = 3) -> str:
+    """ANN via hyperplane-LSH buckets: candidates share a bucket, then exact
+    cosine + top-k within bucket. The bucket join is the scale path: shuffle keys
+    on bucket id, never all-pairs."""
+    cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    return f"""
+WITH {cosine_cte(d)},
+bucketed AS (
+  SELECT vec_id, embedding, nrm, {lsh_bucket_expr(d)} AS bucket
+  FROM nv
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+         round({cos}, 6) AS cosine
+  FROM bucketed q JOIN bucketed c
+    ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
+       cast(bucket as int) AS bucket, cosine, cast(rnk as int) AS rnk
+FROM ranked WHERE rnk <= {k}"""
+
+
+# ======================================================================================
+# Relational operator coverage (TPC-H-ish; SURVEY §2.4-2.6 J/A/T families)
+# ======================================================================================
+
+def q_tpch_q1(d: D) -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       {d.big('count(*)')} AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_topk_revenue_orders(d: D, k: int = 10) -> str:
+    """T2-family per-key top-k via global rank: top revenue orders for one
+    segment, total tie-break (revenue, orderkey)."""
+    return f"""
+WITH rev AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY o.o_orderkey, o.o_orderpriority
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rnk FROM rev
+)
+SELECT {d.big('o_orderkey')} AS o_orderkey, o_orderpriority, revenue, cast(rnk as int) AS rnk
+FROM ranked WHERE rnk <= {k}"""
+
+
+def q_regional_revenue(d: D) -> str:
+    """Q5-shape multi-way join with two broadcastable dims (region, nation)."""
+    return f"""
+SELECT r.r_name AS region, n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {d.big('count(*)')} AS n_items
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY r.r_name, n.n_name"""
+
+
+def q_window_topk_per_order(d: D, k: int = 3) -> str:
+    """T2: top-k lineitems per order by price (per-key window rank)."""
+    return f"""
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rnk
+  FROM lineitem
+)
+SELECT {d.big('l_orderkey')} AS l_orderkey, cast(l_linenumber as int) AS l_linenumber,
+       round(l_extendedprice, 2) AS l_extendedprice, cast(rnk as int) AS rnk
+FROM ranked WHERE rnk <= {k}"""
+
+
+def q_semi_join_returned(d: D) -> str:
+    """J2/F2 semi-join: orders having at least one returned lineitem."""
+    return f"""
+SELECT o_orderstatus, {d.big('count(*)')} AS n_orders
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderstatus"""
+
+
+def q_anti_join_idle_customers(d: D) -> str:
+    """Anti-join (the checkpoint-resume primitive: 'rows not yet processed')."""
+    return f"""
+SELECT c_mktsegment, {d.big('count(*)')} AS n_idle
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment"""
+
+
+def q_rollup_priority(d: D) -> str:
+    """A2 rollup: order counts by (priority, status) with subtotal levels."""
+    return f"""
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       {d.big('count(*)')} AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
+
+
+# ======================================================================================
+# Events: routing / JSON / sessionization / as-of
+# ======================================================================================
+
+def q_events_daily_route(d: D) -> str:
+    """U5 router on the events stream: tag -> per-sink daily counts."""
+    route = ("CASE WHEN event_type IN ('purchase','signup') THEN 'conversion' "
+             "WHEN event_type = 'error' THEN 'error' ELSE 'engagement' END")
+    day = "cast(cast(ts as date) as string)" if d.spark else "strftime(ts, '%Y-%m-%d')"
+    return f"""
+SELECT {day} AS day, {route} AS route,
+       {d.big('count(*)')} AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY {day}, {route}"""
+
+
+def q_events_json_k(d: D) -> str:
+    """P-stage scalar: JSON field extraction + conditional agg per event type."""
+    k = f"cast({d.json_str('props', 'k')} as int)"
+    return f"""
+SELECT event_type,
+       {d.big('count(*)')} AS n,
+       {d.big(f'sum({k})')} AS sum_k,
+       round(avg({k}), 6) AS avg_k,
+       {d.big(f"sum(CASE WHEN {k} >= 50 THEN 1 ELSE 0 END)")} AS n_high
+FROM events GROUP BY event_type"""
+
+
+def q_events_sessionize(d: D, gap_min: int = 30) -> str:
+    """Gap-based sessionization: a new session starts when the gap from the
+    previous event of the same user exceeds {gap}min (batch analog of the
+    streaming session window)."""
+    prev = "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    gap = f"({d.epoch_sec('ts')} - {d.epoch_sec('prev_ts')})"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, {prev} AS prev_ts FROM events
+),
+flags AS (
+  SELECT user_id, event_id,
+         CASE WHEN prev_ts IS NULL OR {gap} > {gap_min * 60} THEN 1 ELSE 0 END AS new_session
+  FROM seq
+)
+SELECT {d.big('user_id')} AS user_id,
+       {d.big('sum(new_session)')} AS n_sessions,
+       {d.big('count(*)')} AS n_events
+FROM flags GROUP BY user_id"""
+
+
+def q_events_error_gap(d: D) -> str:
+    """As-of-join analog: for each error event, seconds since the user's most
+    recent prior 'view' event (running conditional max over an ordered window)."""
+    prior_view = ("max(CASE WHEN event_type = 'view' THEN ts END) "
+                  "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
+    return f"""
+WITH w AS (
+  SELECT user_id, event_id, ts, event_type, {prior_view} AS prior_view_ts
+  FROM events
+)
+SELECT {d.big('event_id')} AS event_id, {d.big('user_id')} AS user_id,
+       cast({d.epoch_sec('ts')} - {d.epoch_sec('prior_view_ts')} as bigint) AS secs_since_view
+FROM w WHERE event_type = 'error'"""

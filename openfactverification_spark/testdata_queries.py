@@ -1,7 +1,73 @@
-"""Operator-coverage queries over the driver's parquet tables (placeholder —
-populated incrementally as operators land)."""
+"""Operator-coverage queries over the driver's parquet tables.
+
+Each entry pairs a Spark callable with a DuckDB oracle rendered from the SAME
+dual-dialect template (operators/dual.py) — two engines, one semantic spec.
+Spark executes via spark.sql (Catalyst plans are identical to the DataFrame API).
+"""
 
 from __future__ import annotations
 
-TESTDATA_QUERIES: dict = {}
-TESTDATA_ORACLES: dict[str, str] = {}
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dual
+from .operators.dual import D
+from .operators.multimodal import multimodal_bytes_oracle, q_multimodal_bytes
+from .sources.tables import TABLES, table_path
+
+_SPARK = D("spark")
+_DUCK = D("duckdb")
+
+# name -> dual.py builder
+_DUAL_QUERIES: dict[str, Callable[[D], str]] = {
+    "dedup_exact": dual.q_dedup_exact,
+    "dedup_ngram_jaccard": dual.q_dedup_ngram_jaccard,
+    "minhash_signatures": dual.q_minhash_signatures,
+    "dedup_minhash_lsh": dual.q_dedup_minhash_lsh,
+    "dedup_simhash": dual.q_dedup_simhash,
+    "doc_fingerprint": dual.q_doc_fingerprint,
+    "text_stats": dual.q_text_stats,
+    "text_lang_id": dual.q_lang_id,
+    "chunk_documents": dual.q_chunk_documents,
+    "embed_cosine_topk": dual.q_embed_cosine_topk,
+    "embed_dup_pairs": dual.q_embed_dup_pairs,
+    "embed_lsh_ann": dual.q_embed_lsh_ann,
+    "tpch_q1_pricing": dual.q_tpch_q1,
+    "topk_revenue_orders": dual.q_topk_revenue_orders,
+    "regional_revenue": dual.q_regional_revenue,
+    "window_topk_per_order": dual.q_window_topk_per_order,
+    "semi_join_returned": dual.q_semi_join_returned,
+    "anti_join_idle_customers": dual.q_anti_join_idle_customers,
+    "rollup_priority": dual.q_rollup_priority,
+    "events_daily_route": dual.q_events_daily_route,
+    "events_json_k": dual.q_events_json_k,
+    "events_sessionize": dual.q_events_sessionize,
+    "events_error_gap": dual.q_events_error_gap,
+}
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    registered = spark.conf.get("spark.ofv.registered_sf", "")
+    if registered == sf_dir:
+        return
+    for t in TABLES:
+        spark.read.parquet(table_path(sf_dir, t)).createOrReplaceTempView(t)
+    spark.conf.set("spark.ofv.registered_sf", sf_dir)
+
+
+def _make_runner(builder: Callable[[D], str]) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(builder(_SPARK))
+
+    return run
+
+
+TESTDATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    name: _make_runner(b) for name, b in _DUAL_QUERIES.items()
+}
+TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
+
+TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
+TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()

@@ -1,0 +1,84 @@
+"""Semantic tests for dedup / similarity / text-analysis operators — properties
+beyond oracle parity (which scripts/check_parity.py + the driver already cover)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openfactverification_spark.operators import dual
+from openfactverification_spark.operators.dual import D
+from openfactverification_spark.operators.multimodal import q_multimodal_bytes
+from openfactverification_spark.sources.tables import TABLES, table_path
+
+SF = "/root/testdata/sf0.001"
+_S = D("spark")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    for t in TABLES:
+        spark.read.parquet(table_path(SF, t)).createOrReplaceTempView(t)
+    yield
+
+
+def test_minhash_lsh_finds_high_jaccard_pairs(spark):
+    """LSH candidates must contain every truly-similar pair the exact all-pairs
+    scan finds at high jaccard (recall@high-sim ~ 1 for 4 bands x 2 rows)."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(dual.q_dedup_ngram_jaccard(_S, threshold=0.6)).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(dual.q_dedup_minhash_lsh(_S, threshold=0.6)).collect()
+    }
+    assert exact, "fixture should contain at least one high-jaccard pair"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+
+
+def test_simhash_close_pairs_share_text(spark):
+    """Hamming<=2 simhash pairs should have higher jaccard than random pairs."""
+    close = spark.sql(dual.q_dedup_simhash(_S, max_hamming=2)).count()
+    loose = spark.sql(dual.q_dedup_simhash(_S, max_hamming=24)).count()
+    assert 0 < close < loose  # 24-bit distance<=24 is all pairs
+
+
+def test_lsh_ann_neighbors_subset_of_bruteforce_space(spark):
+    """Every ANN hit must score exactly what brute force scores for that pair
+    (bucketing changes the candidate set, never the metric)."""
+    ann = spark.sql(dual.q_embed_lsh_ann(_S, k=3))
+    brute = spark.sql(dual.q_embed_cosine_topk(_S, k=5, n_queries=10**9))
+    joined = ann.join(
+        brute.withColumnRenamed("cosine", "bf_cosine"), ["query_id", "neighbor_id"]
+    )
+    mismatches = joined.filter("abs(cosine - bf_cosine) > 1e-9").count()
+    assert mismatches == 0
+
+
+def test_chunk_documents_covers_all_words(spark):
+    """P9 chunking: step(8) < size(10) -> chunks tile every word index."""
+    rows = spark.sql(dual.q_chunk_documents(_S)).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["start_word"], r["end_word"]))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        assert spans[0][0] == 0
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert s2 <= e1, f"gap in doc {doc}: {s1, e1} -> {s2}"
+
+
+def test_multimodal_binary_roundtrip(spark):
+    """mapInPandas binary plumbing: payload bytes survive Arrow transfer."""
+    rows = q_multimodal_bytes(spark, SF).collect()
+    assert len(rows) == 500
+    assert all(r["n_bytes"] == 16 for r in rows)
+    assert all(0 <= r["first_byte"] <= 255 for r in rows)
+    assert {r["media_type"] for r in rows} == {"image/png", "audio/wav"}
+
+
+def test_exact_dedup_keeper_is_min(spark):
+    df = spark.sql(dual.q_dedup_exact(_S))
+    assert df.count() > 0
+    assert df.filter("n_copies < 1").count() == 0
