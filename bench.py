@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set:
+  * the flagship transcripts pipeline (parse -> enrich -> route -> aggregate) at
+    PIPE_TURNS rows — the BASELINE.json metric is turns/sec end-to-end, reported
+    under "turns_per_sec";
+  * the heavy operator-coverage queries over the sf parquet tables (dedup, ANN,
+    TPC-H-ish aggregates, event sessionization).
+
+Each query is forced with a count()-style full materialization (collect of an
+aggregated or limited result), never a driver-side full collect of a big table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openfactverification_spark.plans.pipeline import build_pipeline  # noqa: E402
+from openfactverification_spark.session import get_spark  # noqa: E402
+from openfactverification_spark.sources.transcripts import transcripts_df  # noqa: E402
+
+# 2_000_000 synthetic turns ~ the pipeline headline load at bench scale
+PIPE_TURNS = int(os.environ.get("BENCH_PIPE_TURNS", "2000000"))
+
+TESTDATA_BENCH = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "embed_cosine_topk",
+    "embed_lsh_ann",
+    "tpch_q1_pricing",
+    "regional_revenue",
+    "window_topk_per_order",
+    "events_sessionize",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
+    """Run the full pipeline and force every sink aggregate; returns (sec, turns)."""
+    t0 = time.perf_counter()
+    result = build_pipeline(spark, transcripts_df(spark, n_turns))
+    # Force the routed pass + all three aggregate sinks (summary drives the rest
+    # of the DAG; per-conv + verdicts are the wide outputs).
+    result.summary.collect()
+    result.summary_per_conv.count()
+    result.verdicts.count()
+    return time.perf_counter() - t0, n_turns
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    from openfactverification_spark.testdata_queries import TESTDATA_QUERIES
+
+    timings: dict[str, float] = {}
+
+    pipe_sec, n_turns = bench_pipeline(spark, PIPE_TURNS)
+    timings["pipeline_e2e"] = round(pipe_sec, 3)
+
+    for name in TESTDATA_BENCH:
+        fn = TESTDATA_QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force full evaluation without shipping a big result to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "turns_per_sec": round(n_turns / pipe_sec, 1),
+        "pipe_turns": n_turns,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

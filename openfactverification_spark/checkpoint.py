@@ -1,0 +1,159 @@
+"""Checkpointed, resumable pipeline runs with per-partition lineage + metrics.
+
+North-rule obligation (SURVEY.md §4 custom-work items 2-3): the pipeline must be
+resumable from per-partition checkpoints that record source lineage and
+parse/route/agg metrics, with exactly-once per-sink counts across resume.
+
+Design (batch analog of streaming state, SURVEY.md §2.9 note):
+
+  * The run is split into **epochs** = the sink partition key ``p_day``
+    (``date(ts)`` — the days(ts) part of the Iceberg partition spec in
+    BASELINE.json's north_star; parquet `partitionBy` is the sandbox stand-in,
+    `overwritePartitions` on Iceberg is the production path).
+  * A **manifest** directory holds one JSON file per committed epoch:
+    ``{epoch, lineage, metrics{parsed_records, routed_per_sink}, schema_version}``.
+    The file is written ONLY after the epoch's sink write fully commits, so the
+    manifest is the commit log. One file per epoch = no read-modify-write races.
+  * **Resume** = ``left_anti`` join of the input's epochs against the manifest's
+    committed epochs (SURVEY.md §2.4 note: anti join as resumability primitive).
+  * **Idempotence**: sinks are written with dynamic partition overwrite keyed by
+    (route, p_day); re-processing a crashed epoch overwrites its partial output
+    instead of duplicating it, so per-sink counts are exact across resume.
+  * **Metrics** come from the same pass that writes the sinks (a per-epoch
+    count aggregate over the routed frame — the A5 usage-accounting analog,
+    /root/reference/factcheck/utils/llmclient/gpt_client.py:36-41).
+
+At cluster scale each epoch's write is a partition-pruned scan (the ``p_day``
+filter reaches the source) and the manifest stays tiny (one small JSON per day).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import route as route_ops
+from .plans.pipeline import build_pipeline
+
+SCHEMA_VERSION = 1
+
+
+@dataclass
+class EpochResult:
+    epoch: str
+    parsed_records: int
+    routed_per_sink: dict[str, int]
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def committed_epochs(out_dir: str) -> dict[str, dict]:
+    """Read the manifest: epoch -> committed entry."""
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[str, dict] = {}
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        with open(os.path.join(mdir, name)) as f:
+            entry = json.load(f)
+        out[entry["epoch"]] = entry
+    return out
+
+
+def _commit_epoch(out_dir: str, entry: dict) -> None:
+    """Atomic single-file commit: write tmp, fsync-rename."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"{entry['epoch']}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def pending_epochs(spark: SparkSession, transcripts: DataFrame, out_dir: str) -> list[str]:
+    """Epochs present in the input but absent from the manifest (left_anti)."""
+    input_epochs = transcripts.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("epoch")
+    ).distinct()
+    done = list(committed_epochs(out_dir))
+    if done:
+        done_df = spark.createDataFrame([(e,) for e in done], "epoch string")
+        input_epochs = input_epochs.join(done_df, "epoch", "left_anti")
+    return sorted(r["epoch"] for r in input_epochs.collect())
+
+
+def run_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    lineage: str = "",
+    fail_after_epochs: int | None = None,
+) -> list[EpochResult]:
+    """Process all not-yet-committed epochs; safe to re-invoke after a crash.
+
+    ``fail_after_epochs`` injects a crash after N epoch commits (tests only).
+    ``lineage`` identifies the input version (Iceberg snapshot-id in production;
+    any caller-supplied fingerprint here).
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo = pending_epochs(spark, transcripts, out_dir)
+    results: list[EpochResult] = []
+
+    for i, epoch in enumerate(todo):
+        if fail_after_epochs is not None and i >= fail_after_epochs:
+            raise RuntimeError(f"injected failure before epoch {epoch}")
+
+        # Partition-pruned slice: at cluster scale this filter reaches the
+        # Iceberg scan as days(ts) partition pruning.
+        day_slice = transcripts.filter(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd") == epoch
+        )
+        result = build_pipeline(spark, day_slice)
+        routed = result.routed.withColumn("p_day", F.lit(epoch)).persist()
+
+        # Sink write first (idempotent dynamic overwrite of (route, p_day)),
+        # metrics from the same cached pass, manifest commit last.
+        (
+            routed.write.mode("overwrite")
+            .partitionBy("route", "p_day")
+            .parquet(os.path.join(out_dir, "sinks"))
+        )
+        per_sink = {
+            r["route"]: r["n"]
+            for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        parsed = sum(per_sink.values())
+        routed.unpersist()
+
+        _commit_epoch(
+            out_dir,
+            {
+                "epoch": epoch,
+                "lineage": lineage,
+                "schema_version": SCHEMA_VERSION,
+                "metrics": {"parsed_records": parsed, "routed_per_sink": per_sink},
+            },
+        )
+        results.append(EpochResult(epoch, parsed, per_sink))
+    return results
+
+
+def sink_counts(spark: SparkSession, out_dir: str) -> dict[str, int]:
+    """Per-route row counts of the committed sink data (for exactness checks)."""
+    df = spark.read.parquet(os.path.join(out_dir, "sinks"))
+    return {
+        r["route"]: r["n"]
+        for r in df.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()
+    }

@@ -429,8 +429,13 @@ GROUP BY l_returnflag, l_linestatus"""
 
 
 def q_topk_revenue_orders(d: D, k: int = 10) -> str:
-    """T2-family per-key top-k via global rank: top revenue orders for one
-    segment, total tie-break (revenue, orderkey)."""
+    """T1/T2-family global top-k: top revenue orders for one segment, total
+    tie-break (revenue, orderkey).
+
+    Scale note: ORDER BY + LIMIT first (Spark plans TakeOrderedAndProject — a
+    parallel per-partition partial top-k, no single-partition exchange), THEN a
+    row_number window over just the k survivors. A global window over the full
+    aggregate would funnel every row into one partition."""
     return f"""
 WITH rev AS (
   SELECT o.o_orderkey, o.o_orderpriority,
@@ -441,11 +446,12 @@ WITH rev AS (
   WHERE c.c_mktsegment = 'BUILDING'
   GROUP BY o.o_orderkey, o.o_orderpriority
 ),
-ranked AS (
-  SELECT *, row_number() OVER (ORDER BY revenue DESC, o_orderkey) AS rnk FROM rev
+top AS (
+  SELECT * FROM rev ORDER BY revenue DESC, o_orderkey LIMIT {k}
 )
-SELECT {d.big('o_orderkey')} AS o_orderkey, o_orderpriority, revenue, cast(rnk as int) AS rnk
-FROM ranked WHERE rnk <= {k}"""
+SELECT {d.big('o_orderkey')} AS o_orderkey, o_orderpriority, revenue,
+       cast(row_number() OVER (ORDER BY revenue DESC, o_orderkey) as int) AS rnk
+FROM top"""
 
 
 def q_regional_revenue(d: D) -> str:

@@ -1,0 +1,53 @@
+"""Checkpoint/resume: per-partition lineage, crash-resume, exactly-once counts.
+
+North-rule gate (SURVEY.md §4 items 2-3): resume must (a) skip committed epochs,
+(b) reprocess crashed ones idempotently, (c) leave per-sink counts identical to a
+single uninterrupted run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from openfactverification_spark import checkpoint as ckpt
+from openfactverification_spark.sources.transcripts import transcripts_df
+
+N_TURNS = 2000  # 5 distinct ts days (epochs) in the generator formula
+
+
+def test_crash_resume_exactly_once(spark, tmp_path):
+    transcripts = transcripts_df(spark, N_TURNS)
+
+    # Reference run: single uninterrupted pass.
+    ref_dir = str(tmp_path / "ref")
+    ref_results = ckpt.run_resumable(spark, transcripts, ref_dir)
+    assert len(ref_results) == 5
+    ref_counts = ckpt.sink_counts(spark, ref_dir)
+    assert set(ref_counts) == {"checkworthy", "non_factual", "tool_trace", "verdict"}
+
+    # Crash run: fail after 2 committed epochs, then resume.
+    out_dir = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        ckpt.run_resumable(spark, transcripts, out_dir, fail_after_epochs=2)
+    assert len(ckpt.committed_epochs(out_dir)) == 2
+
+    resumed = ckpt.run_resumable(spark, transcripts, out_dir)
+    assert len(resumed) == 3  # only the 3 uncommitted epochs re-ran
+    assert ckpt.sink_counts(spark, out_dir) == ref_counts
+
+    # Third invocation is a no-op (left_anti finds nothing pending).
+    assert ckpt.run_resumable(spark, transcripts, out_dir) == []
+
+
+def test_manifest_metrics_match_sinks(spark, tmp_path):
+    out_dir = str(tmp_path / "m")
+    ckpt.run_resumable(spark, transcripts_df(spark, N_TURNS), out_dir, lineage="v1")
+
+    manifest = ckpt.committed_epochs(out_dir)
+    totals: dict[str, int] = {}
+    for entry in manifest.values():
+        assert entry["lineage"] == "v1"
+        assert entry["schema_version"] == ckpt.SCHEMA_VERSION
+        for route, n in entry["metrics"]["routed_per_sink"].items():
+            totals[route] = totals.get(route, 0) + n
+    assert totals == ckpt.sink_counts(spark, out_dir)
