@@ -40,73 +40,67 @@ def split_sentences(text: Column) -> Column:
 
 
 def parse_turns(transcripts: DataFrame) -> DataFrame:
-    """transcripts -> parsed records (claims + tool calls), shuffle-free.
+    """transcripts -> parsed records (claims + tool calls), shuffle-free and
+    **single-scan**: one projection computes the sentence array, one Generate
+    explodes it, and tool turns ride the same explode as a 1-element array. A
+    two-branch `filter ∪ filter` plan would scan the source table twice — at
+    100 TB that doubles the IO bill for zero benefit.
+
+    The sentence split is hoisted into its own column first: lambda bodies get no
+    common-subexpression elimination, so referencing the regex split inside
+    `transform`/`aggregate` would re-run it per array element.
 
     Output columns: conv_id, turn_idx, role, ts, text, record_kind, claim_idx,
     claim, span_start, span_end, tool_name, tool_query, tool_status.
     """
-    is_tool_call = F.col("text").rlike(TOOL_CALL_RE)
+    is_tool = F.col("text").rlike(TOOL_CALL_RE)
 
-    # --- claim branch: spans computed inside the array (no window, no shuffle).
-    # start(i) = sum over j<i of len(sent_j) + 1 (the joining space).
+    # start(i) = sum over j<i of len(sent_j) + 1 (the joining space); computed
+    # over the pre-split array, no window, no shuffle.
     spans = F.expr(
         """
-        transform(
-          split(regexp_replace(text, '([.!?]) ', concat('$1', chr(1))), chr(1)),
-          (s, i) -> struct(
-            s AS claim,
-            i AS claim_idx,
-            aggregate(
-              slice(split(regexp_replace(text, '([.!?]) ', concat('$1', chr(1))), chr(1)), 1, i),
-              0, (acc, x) -> acc + length(x) + 1
-            ) AS span_start
-          )
-        )
+        transform(sents, (s, i) -> struct(
+          s AS claim,
+          i AS claim_idx,
+          aggregate(slice(sents, 1, i), 0, (acc, x) -> acc + length(x) + 1) AS span_start
+        ))
         """
     )
-
-    base = transcripts.withColumn(
-        "record_kind", F.when(is_tool_call, F.lit("tool_call")).otherwise(F.lit("claim"))
-    )
-
-    claims = (
-        base.filter(F.col("record_kind") == "claim")
-        .withColumn("span", F.explode(spans))
-        .select(
-            "conv_id",
-            "turn_idx",
-            "role",
-            "ts",
-            "text",
-            "record_kind",
-            F.col("span.claim_idx").alias("claim_idx"),
-            F.col("span.claim").alias("claim"),
-            F.col("span.span_start").alias("span_start"),
-            (F.col("span.span_start") + F.length("span.claim")).alias("span_end"),
-            F.lit(None).cast("string").alias("tool_name"),
-            F.lit(None).cast("string").alias("tool_query"),
-            F.lit(None).cast("string").alias("tool_status"),
+    tool_span = F.array(
+        F.struct(
+            F.col("text").alias("claim"),
+            F.lit(0).alias("claim_idx"),
+            F.lit(None).cast("int").alias("span_start"),
         )
-        .filter(F.length(F.trim(F.col("claim"))) >= MIN_SENT_LEN)  # F1
     )
 
-    tool_calls = base.filter(F.col("record_kind") == "tool_call").select(
+    base = (
+        transcripts.withColumn(
+            "record_kind", F.when(is_tool, F.lit("tool_call")).otherwise(F.lit("claim"))
+        )
+        .withColumn(
+            "sents",
+            F.when(F.col("record_kind") == "claim", split_sentences(F.col("text"))),
+        )
+        .withColumn("span", F.explode(F.when(F.col("record_kind") == "claim", spans).otherwise(tool_span)))
+    )
+
+    is_claim = F.col("record_kind") == "claim"
+    return base.select(
         "conv_id",
         "turn_idx",
         "role",
         "ts",
         "text",
         "record_kind",
-        F.lit(0).alias("claim_idx"),
-        F.lit(None).cast("string").alias("claim"),
-        F.lit(None).cast("int").alias("span_start"),
-        F.lit(None).cast("int").alias("span_end"),
-        F.regexp_extract("text", TOOL_CALL_RE, 1).alias("tool_name"),
-        F.regexp_extract("text", TOOL_CALL_RE, 2).alias("tool_query"),
-        F.regexp_extract("text", TOOL_CALL_RE, 3).alias("tool_status"),
-    )
-
-    return claims.unionByName(tool_calls)
+        F.when(is_claim, F.col("span.claim_idx")).otherwise(F.lit(0)).alias("claim_idx"),
+        F.when(is_claim, F.col("span.claim")).alias("claim"),
+        F.when(is_claim, F.col("span.span_start")).alias("span_start"),
+        F.when(is_claim, F.col("span.span_start") + F.length("span.claim")).alias("span_end"),
+        F.when(~is_claim, F.regexp_extract("text", TOOL_CALL_RE, 1)).alias("tool_name"),
+        F.when(~is_claim, F.regexp_extract("text", TOOL_CALL_RE, 2)).alias("tool_query"),
+        F.when(~is_claim, F.regexp_extract("text", TOOL_CALL_RE, 3)).alias("tool_status"),
+    ).filter(~is_claim | (F.length(F.trim(F.col("claim"))) >= MIN_SENT_LEN))  # F1
 
 
 def span_reconstruction(records: DataFrame) -> DataFrame:

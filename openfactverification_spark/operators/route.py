@@ -37,13 +37,25 @@ def sink(routed: DataFrame, name: str) -> DataFrame:
     return routed.filter(F.col("route") == name)
 
 
-def write_sinks(routed: DataFrame, out_dir: str, fmt: str = "parquet") -> None:
+def write_sinks(
+    routed: DataFrame, out_dir: str, fmt: str = "parquet", files_per_partition: int = 8
+) -> None:
     """Single-pass multi-sink write: partitioned by (route, day). On Iceberg this
     becomes `days(ts), bucket(conv_id)` partition transforms; parquet stand-in uses
-    explicit day column. One job, no persist, no re-scan."""
+    explicit day column. One job, no persist, no re-scan.
+
+    The pre-write shuffle is salted with pmod(hash(conv_id), k): a bare
+    repartition('route','ts_day') would collapse the write into (#routes × #days)
+    shuffle groups — ~20 giant tasks regardless of cluster size — while no
+    repartition at all emits (#tasks × #partitions) small files. The salt bounds
+    files at k per (route, day) and keeps every executor writing."""
     (
         routed.withColumn("ts_day", F.to_date("ts"))
-        .repartition("route", "ts_day")
+        .repartition(
+            F.col("route"),
+            F.col("ts_day"),
+            F.pmod(F.hash("conv_id"), F.lit(files_per_partition)),
+        )
         .write.mode("overwrite")
         .partitionBy("route", "ts_day")
         .format(fmt)

@@ -1,0 +1,108 @@
+"""Structured Streaming expression of the parse→enrich→route→aggregate pipeline.
+
+The batch operators (operators/parse.py, enrich.py, route.py) are all narrow
+transformations + broadcast joins, so the identical functions apply unchanged to
+a streaming DataFrame — one pipeline definition, two execution modes (the Spark
+analog of the reference running the same stages per-request in its web app,
+/root/reference/webapp.py:38-52).
+
+Streaming-specific pieces:
+  * ``transcripts_stream`` — the synthetic transcripts formula bound to the
+    ``rate`` source (`value` plays the row-id role), for live-demo runs;
+  * ``stream_routed`` — parse+enrich+route on any streaming transcripts frame;
+  * ``windowed_summary`` — watermarked sliding/tumbling-window per-sink counts
+    (the streaming analog of aggregate.sink_summary; late rows beyond the
+    watermark are dropped, A6's sliding-window semantics recast);
+  * ``run_to_sinks_stream`` — foreachBatch writer reusing the batch
+    write-sinks path, giving exactly-once-per-batch partitioned sink files with
+    checkpointLocation-based recovery (the streaming twin of checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import enrich as enrich_ops
+from ..operators import parse as parse_ops
+from ..operators import route as route_ops
+from ..sources.transcripts import _transcript_exprs
+
+
+def transcripts_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Synthetic transcripts as an unbounded stream (rate source; `value` = row id),
+    rendered by the same dual-dialect formula as the batch/oracle table."""
+    exprs = _transcript_exprs("spark", t="value")
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .selectExpr(*[f"{e} AS {name}" for name, e in exprs.items()])
+    )
+
+
+def stream_routed(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """parse→enrich→route on a streaming transcripts frame (all stateless)."""
+    cw = enrich_ops.checkworthy_dim(spark)
+    stance = enrich_ops.stance_counts_dim(spark)
+    tools = enrich_ops.tool_dim(spark)
+    records = parse_ops.parse_turns(transcripts)
+    enriched = enrich_ops.enrich_tools(
+        enrich_ops.enrich_claims(records, cw, stance), tools
+    )
+    return route_ops.route_records(enriched)
+
+
+def windowed_summary(
+    routed: DataFrame, window: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked tumbling-window per-sink aggregate: counts + checkworthy +
+    verified per (window, route, role). State is bounded by the watermark."""
+    is_claim = F.col("record_kind") == "claim"
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "route", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum(is_claim.cast("long")).alias("n_claims"),
+            F.sum((is_claim & F.col("checkworthy")).cast("long")).alias("n_checkworthy"),
+            F.sum((F.col("factuality_tag") == "SCORE").cast("long")).alias("n_verified"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "route",
+            "role",
+            "n_records",
+            "n_claims",
+            "n_checkworthy",
+            "n_verified",
+        )
+    )
+
+
+def run_to_sinks_stream(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Route the stream into the partitioned per-category sinks via foreachBatch
+    (reuses the batch write path; checkpointLocation gives restart recovery).
+    Returns the started StreamingQuery."""
+    routed = stream_routed(spark, transcripts)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("ts_day", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("route", "ts_day")
+            .parquet(f"{out_dir}/sinks")
+        )
+
+    writer = routed.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,61 @@
+"""Structured Streaming pipeline: stream results must equal the batch pipeline on
+the same input (one definition, two execution modes), and windowed aggregates
+must match the batch groupBy twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openfactverification_spark.plans.pipeline import build_pipeline
+from openfactverification_spark.sources.transcripts import transcripts_df
+from openfactverification_spark.streaming import pipeline as spipe
+
+N_TURNS = 1500
+
+
+def _file_stream(spark, tmp_path):
+    """Deterministic bounded stream: write the synthetic table to parquet, read it
+    back with readStream (availableNow processes everything then stops)."""
+    src = str(tmp_path / "src")
+    transcripts_df(spark, N_TURNS).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def test_stream_sinks_match_batch(spark, tmp_path):
+    stream = _file_stream(spark, tmp_path)
+    out = str(tmp_path / "out")
+    q = spipe.run_to_sinks_stream(spark, stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(f"{out}/sinks")
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    batch = build_pipeline(spark, transcripts_df(spark, N_TURNS)).routed.groupBy(
+        "route"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    assert {(r["route"], r["n"]) for r in got.collect()} == {
+        (r["route"], r["n"]) for r in batch.collect()
+    }
+
+
+def test_windowed_summary_matches_batch_window(spark, tmp_path):
+    stream = _file_stream(spark, tmp_path)
+    routed_stream = spipe.stream_routed(spark, stream)
+    q = (
+        spipe.windowed_summary(routed_stream)
+        .writeStream.format("memory")
+        .queryName("win_summary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {tuple(r) for r in spark.table("win_summary").collect()}
+    # withWatermark is a no-op on batch frames, so the same function is the twin.
+    batch_routed = build_pipeline(spark, transcripts_df(spark, N_TURNS)).routed
+    expected = {tuple(r) for r in spipe.windowed_summary(batch_routed).collect()}
+    assert got == expected
