@@ -96,15 +96,20 @@ def main() -> None:
     # production scale, so the headline measures steady-state throughput.
     bench_pipeline(spark, 50_000)
     pipe_sec, n_turns = bench_pipeline(spark, PIPE_TURNS)
+    print(f"  pipeline_e2e: {pipe_sec:.1f}s", file=sys.stderr)
     timings["pipeline_e2e"] = round(pipe_sec, 3)
 
     for name in TESTDATA_BENCH:
         fn = TESTDATA_QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        # Force full evaluation without shipping a big result to the driver.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: shields the number from transient noise
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Force full evaluation without shipping a big result to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {best:.2f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {

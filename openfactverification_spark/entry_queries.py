@@ -69,6 +69,50 @@ def q_pipeline_tool_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_query_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/U2: per-claim query fan-out, claim-as-query first, cap 5."""
+    from .operators import verify as verify_ops
+
+    return verify_ops.generate_queries(_pipe(spark).routed)
+
+
+def q_pipeline_evidence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2 + J6/J7: top-k evidence rows per checkworthy claim."""
+    from .operators import enrich as enrich_ops
+    from .operators import verify as verify_ops
+
+    return verify_ops.evidence_topk(_pipe(spark).routed, enrich_ops.evidence_dim(spark))
+
+
+def q_pipeline_evidence_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: evidence regrouped per claim, deterministic order."""
+    from .operators import enrich as enrich_ops
+    from .operators import verify as verify_ops
+
+    return verify_ops.evidence_regrouped(
+        _pipe(spark).routed, enrich_ops.evidence_dim(spark)
+    )
+
+
+def q_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 grouping-sets extension: rollup(route, role) in one shuffle."""
+    return agg_ops.summary_rollup(_pipe(spark).routed).withColumn(
+        "grouping_level", F.col("grouping_level").cast("int")
+    )
+
+
+def q_pipeline_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: token accounting per role — whitespace tokens + BPE-ish regex tokens."""
+    t = transcripts_df(spark, ORACLE_N_TURNS)
+    return t.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("sum_ws_tokens"),
+        F.sum(F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]"))).alias(
+            "sum_regex_tokens"
+        ),
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_summary": q_pipeline_summary,
     "pipeline_summary_per_conv": q_pipeline_summary_per_conv,
@@ -77,6 +121,11 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_parse_claims": q_pipeline_parse_claims,
     "pipeline_span_invariant": q_pipeline_span_invariant,
     "pipeline_tool_trace": q_pipeline_tool_trace,
+    "pipeline_query_fanout": q_pipeline_query_fanout,
+    "pipeline_evidence_topk": q_pipeline_evidence_topk,
+    "pipeline_evidence_grouped": q_pipeline_evidence_grouped,
+    "pipeline_rollup": q_pipeline_rollup,
+    "pipeline_token_stats": q_pipeline_token_stats,
 }
 
 

@@ -39,10 +39,8 @@ def sink_summary(routed: DataFrame, per_conv: bool = False) -> DataFrame:
 def summary_rollup(routed: DataFrame) -> DataFrame:
     """A2 global extension: rollup(route, role) — per-sink, per-(sink,role), and
     grand-total rows in one pass (grouping sets, one shuffle)."""
-    return (
-        routed.rollup("route", "role")
-        .agg(*_summary_aggs())
-        .withColumn("grouping_level", F.grouping_id())
+    return routed.rollup("route", "role").agg(
+        *_summary_aggs(), F.grouping_id().alias("grouping_level")
     )
 
 

@@ -169,15 +169,20 @@ WHERE cast(n_common as double) / (sa.sz + sb.sz - n_common) >= {threshold}"""
 
 
 def minhash_sig_cte(d: D, n: int = 3) -> str:
-    """CTE: per-doc MinHash signature columns mh0..mh{K-1}."""
-    h = d.h7("shingle")
+    """CTE: per-doc MinHash signature columns mh0..mh{K-1} plus shingle count sz.
+
+    The md5-derived base hash is materialized once per shingle in `hx` — inlining
+    it into each of the K min() aggregates would md5 every shingle K times. sz
+    rides the same groupBy so no second pass over the shingles is needed for
+    jaccard denominators."""
     mins = ",\n         ".join(
-        f"min({H.minhash_expr(k, h)}) AS mh{k}" for k in range(H.MINHASH_K)
+        f"min({H.minhash_expr(k, 'h')}) AS mh{k}" for k in range(H.MINHASH_K)
     )
     return f"""sh AS ({doc_shingles_sql(d, n)}),
+hx AS (SELECT doc_id, {d.h7('shingle')} AS h FROM sh),
 sig AS (
-  SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
+  SELECT doc_id, count(*) AS sz, {mins}
+  FROM hx GROUP BY doc_id
 )"""
 
 
@@ -189,16 +194,34 @@ def q_minhash_signatures(d: D) -> str:
 def q_dedup_minhash_lsh(d: D, threshold: float = 0.15) -> str:
     """MinHash + LSH banding: band buckets -> candidate pairs -> exact-jaccard
     verify. The banded join keys the shuffle on (band_idx, band_hash), so at scale
-    candidates ~ collisions, never all-pairs."""
+    candidates ~ collisions, never all-pairs.
+
+    Spark inlines WITH-CTEs, so `bands` is produced by ONE explode over `sig`
+    (a UNION ALL of per-band selects would recompute the signature aggregation —
+    and its shingle explosion — once per band). DuckDB keeps the UNION ALL form;
+    it materializes multiply-referenced CTEs."""
     rows_per_band = H.MINHASH_K // H.MINHASH_BANDS
-    band_selects = []
-    for b in range(H.MINHASH_BANDS):
-        parts = " || '_' || ".join(
+
+    def band_key(b: int) -> str:
+        return " || '_' || ".join(
             f"cast(mh{b * rows_per_band + r} as {'string' if d.spark else 'varchar'})"
             for r in range(rows_per_band)
         )
-        band_selects.append(f"SELECT doc_id, {b} AS band_idx, {parts} AS band_key FROM sig")
-    bands_sql = "\n  UNION ALL\n  ".join(band_selects)
+
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
+            for b in range(H.MINHASH_BANDS)
+        )
+        bands_sql = (
+            "SELECT doc_id, bb.band_idx AS band_idx, bb.band_key AS band_key\n"
+            f"  FROM sig LATERAL VIEW explode(array({structs})) t AS bb"
+        )
+    else:
+        bands_sql = "\n  UNION ALL\n  ".join(
+            f"SELECT doc_id, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
+            for b in range(H.MINHASH_BANDS)
+        )
     return f"""
 WITH {minhash_sig_cte(d)},
 bands AS (
@@ -209,7 +232,6 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 verified AS (
   SELECT c.id_a, c.id_b, count(*) AS n_common
   FROM cand c
@@ -220,8 +242,8 @@ verified AS (
 SELECT {d.big('v.id_a')} AS id_a, {d.big('v.id_b')} AS id_b,
        round(cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common), 6) AS jaccard
 FROM verified v
-JOIN sizes sa ON sa.doc_id = v.id_a
-JOIN sizes sb ON sb.doc_id = v.id_b
+JOIN sig sa ON sa.doc_id = v.id_a
+JOIN sig sb ON sb.doc_id = v.id_b
 WHERE cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common) >= {threshold}"""
 
 
@@ -322,12 +344,18 @@ FROM {from_clause} t"""
 # ======================================================================================
 
 def _dot(d: D, a: str, b: str, dim: int = 64) -> str:
-    prods = d.transform(
-        d.seq(1, dim), "i",
-        f"cast({a}[i] as double) * cast({b}[i] as double)"
-        if not d.spark
-        else f"cast(element_at({a}, cast(i as int)) as double) * cast(element_at({b}, cast(i as int)) as double)",
-    )
+    """Sequential-fold dot product, bit-identical across engines.
+
+    Spark side pairs elements with zip_with (direct array iteration) instead of
+    indexing via element_at over a sequence() — element_at does a bounds check
+    and null handling per element, and higher-order functions run interpreted,
+    so per-element cost dominates at N*Q pair volume."""
+    if d.spark:
+        prods = f"zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double))"
+    else:
+        prods = d.transform(
+            d.seq(1, dim), "i", f"cast({a}[i] as double) * cast({b}[i] as double)"
+        )
     return d.fold_sum(prods)
 
 

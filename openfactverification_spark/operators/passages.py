@@ -1,0 +1,85 @@
+"""T3: greedy non-overlapping passage selection — the one inherently sequential
+per-group operator (SURVEY.md §2.6 T3, §2.9 'the only UDTF-shaped thing').
+
+The reference scans score-sorted passages and rejects interval overlaps, capping
+at 5 per search result (/root/reference/factcheck/core/Retriever/base.py:174-197,
+param :28). Order within a group is load-bearing, so this is `applyInPandas`
+(grouped-map pandas UDF): Spark shuffles on doc_id, each group is solved in one
+vectorized-ish Python call, and the scheduler parallelizes across groups — the
+correct shape for sequential-per-key logic at any scale (group size is bounded
+by document length, not table size).
+
+Scores are a deterministic portable hash of the chunk text, so re-runs and both
+parallelism levels select identical passages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MAX_PASSAGES = 5  # base.py:28 max_passages_per_search_result_to_return
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("start_word", T.IntegerType(), False),
+        T.StructField("end_word", T.IntegerType(), False),
+        T.StructField("score", T.LongType(), False),
+        T.StructField("sel_rank", T.IntegerType(), False),
+    ]
+)
+
+
+def chunk_score(text: str) -> int:
+    """28-bit md5-prefix hash — same formula as functions/hashing.h7, computed
+    driver/worker-side in Python for the pandas path."""
+    return int(hashlib.md5(text.encode("utf-8")).hexdigest()[:7], 16)
+
+
+def select_passages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Greedy per-doc selection: score desc (tie: start_word), reject overlaps,
+    cap MAX_PASSAGES. Pure function of one group — reused by tests as the
+    reference implementation."""
+    pdf = pdf.sort_values(["score", "start_word"], ascending=[False, True])
+    chosen: list[tuple[int, int, int]] = []  # (start, end, score)
+    for row in pdf.itertuples(index=False):
+        if len(chosen) >= MAX_PASSAGES:
+            break
+        if any(not (row.end_word <= s or row.start_word >= e) for s, e, _ in chosen):
+            continue
+        chosen.append((row.start_word, row.end_word, row.score))
+    doc_id = int(pdf["doc_id"].iloc[0]) if len(pdf) else 0
+    return pd.DataFrame(
+        [
+            {
+                "doc_id": doc_id,
+                "start_word": s,
+                "end_word": e,
+                "score": sc,
+                "sel_rank": i + 1,
+            }
+            for i, (s, e, sc) in enumerate(chosen)
+        ],
+        columns=["doc_id", "start_word", "end_word", "score", "sel_rank"],
+    )
+
+
+def select_passages(chunks: DataFrame) -> DataFrame:
+    """chunks(doc_id, start_word, end_word, chunk_text) -> selected passages.
+    Expects scores precomputed in a `score` column (use with_scores)."""
+    return chunks.groupBy("doc_id").applyInPandas(select_passages_pdf, _OUT_SCHEMA)
+
+
+def with_scores(chunks: DataFrame) -> DataFrame:
+    """Attach the portable JVM-side score (same value chunk_score computes in
+    Python): cast(conv(substring(md5(chunk_text),1,7),16,10) as bigint)."""
+    from pyspark.sql import functions as F
+
+    return chunks.withColumn(
+        "score",
+        F.conv(F.substring(F.md5(F.col("chunk_text")), 1, 7), 16, 10).cast("bigint"),
+    )

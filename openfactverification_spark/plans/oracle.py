@@ -12,6 +12,11 @@ shuffle-free array trick) — result equality is the contract, not plan equality
 from __future__ import annotations
 
 from ..operators.parse import MIN_SENT_LEN
+from ..operators.verify import (
+    EVIDENCE_TOP_K as _EVIDENCE_TOP_K,
+    MAX_QUERY_PER_CLAIM as _MAX_QUERY_PER_CLAIM,
+    QUERY_TEMPLATES as _QUERY_TEMPLATES,
+)
 from ..sources.transcripts import (
     DEFAULT_REASON,
     checkworthy_labels_rows,
@@ -186,4 +191,60 @@ GROUP BY conv_id, turn_idx""",
 SELECT tool_name, tool_category, tool_status, COUNT(*)::BIGINT AS n
 FROM routed WHERE route = 'tool_trace'
 GROUP BY tool_name, tool_category, tool_status""",
+        "pipeline_query_fanout": f"""{ctes},
+cq AS (
+  SELECT conv_id, turn_idx, claim_idx, claim,
+         list_slice([claim] || [{", ".join(f"'{t}' || claim" for t in _QUERY_TEMPLATES)}],
+                    1, {_MAX_QUERY_PER_CLAIM}) AS qs
+  FROM routed WHERE record_kind = 'claim' AND checkworthy
+)
+SELECT conv_id, turn_idx, claim_idx, claim,
+       CAST(unnest(range(0, len(qs))) AS INT) AS query_idx,
+       unnest(qs) AS query
+FROM cq""",
+        "pipeline_evidence_topk": f"""{ctes},
+cl AS (
+  SELECT conv_id, turn_idx, claim_idx, claim_norm
+  FROM routed WHERE record_kind = 'claim' AND checkworthy
+),
+det AS (
+  SELECT cl.conv_id, cl.turn_idx, cl.claim_idx, e.rank, e.url, e.stance
+  FROM cl JOIN ev_dim e USING (claim_norm)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx, claim_idx ORDER BY rank, url) AS rnk
+  FROM det
+)
+SELECT conv_id, turn_idx, claim_idx, rank, url, stance, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {_EVIDENCE_TOP_K}""",
+        "pipeline_evidence_grouped": f"""{ctes},
+cl AS (
+  SELECT conv_id, turn_idx, claim_idx, claim_norm
+  FROM routed WHERE record_kind = 'claim' AND checkworthy
+),
+det AS (
+  SELECT cl.conv_id, cl.turn_idx, cl.claim_idx, e.rank, e.url
+  FROM cl JOIN ev_dim e USING (claim_norm)
+)
+SELECT conv_id, turn_idx, claim_idx, COUNT(*)::BIGINT AS n_evidence_rows,
+       string_agg(url, ',' ORDER BY rank, url) AS urls_ordered
+FROM det GROUP BY conv_id, turn_idx, claim_idx""",
+        "pipeline_rollup": ctes
+        + "\n"
+        + _summary_select("route, role")
+        .replace(
+            "FROM routed GROUP BY route, role",
+            "FROM routed GROUP BY ROLLUP (route, role)",
+        )
+        .replace(
+            "SELECT route, role,",
+            "SELECT route, role,\n"
+            "       CAST(GROUPING(route) * 2 + GROUPING(role) AS INT) AS grouping_level,",
+        ),
+        "pipeline_token_stats": f"""{ctes}
+SELECT role, COUNT(*)::BIGINT AS n_turns,
+       SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
+       SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_regex_tokens
+FROM transcripts GROUP BY role""",
     }

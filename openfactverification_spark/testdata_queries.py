@@ -64,10 +64,23 @@ def _make_runner(builder: Callable[[D], str]) -> Callable[[SparkSession, str], D
     return run
 
 
+def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: greedy non-overlapping passage selection per document via
+    applyInPandas — registered rows-only (sequential greedy selection is not
+    SQL-expressible; correctness is pinned by tests/test_passages.py against a
+    pure-Python reference)."""
+    from .operators import passages as passage_ops
+
+    _register_views(spark, sf_dir)
+    chunks = spark.sql(dual.q_chunk_documents(_SPARK))
+    return passage_ops.select_passages(passage_ops.with_scores(chunks))
+
+
 TESTDATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _make_runner(b) for name, b in _DUAL_QUERIES.items()
 }
 TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
+TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()

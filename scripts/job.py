@@ -1,0 +1,70 @@
+"""Cluster job entrypoint — the spark-submit deployment shape of the pipeline.
+
+    python scripts/package_pyfiles.py   # builds dist/openfactverification_spark.zip
+    spark-submit --py-files dist/openfactverification_spark.zip scripts/job.py \
+        --out s3://bucket/sinks --n-turns 1000000000 [--resume] [--skew-pct 2]
+
+On a cluster, pass the real master via spark-submit (--master yarn / k8s://...);
+the SparkSession here builds with no master override so spark-submit's choice
+wins. Input defaults to the deterministic synthetic transcripts generator; swap
+`--input-parquet` (or an Iceberg table name in production) to read real data.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True, help="sink output directory")
+    ap.add_argument("--n-turns", type=int, default=1_000_000)
+    ap.add_argument("--input-parquet", default=None, help="read transcripts from parquet")
+    ap.add_argument("--skew-pct", type=int, default=0)
+    ap.add_argument("--resume", action="store_true", help="checkpointed resumable run")
+    ap.add_argument("--streaming", action="store_true", help="structured-streaming mode")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # spark-submit supplies master/deploy-mode; only app-level configs here.
+    spark = (
+        SparkSession.builder.appName("ofv-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    from openfactverification_spark import checkpoint as ckpt
+    from openfactverification_spark.plans.pipeline import run_to_sinks
+    from openfactverification_spark.sources.transcripts import transcripts_df
+
+    if args.input_parquet:
+        transcripts = spark.read.parquet(args.input_parquet)
+    else:
+        transcripts = transcripts_df(spark, args.n_turns, skew_pct=args.skew_pct)
+
+    if args.streaming:
+        from openfactverification_spark.streaming.pipeline import run_to_sinks_stream
+
+        q = run_to_sinks_stream(
+            spark, transcripts, args.out, f"{args.out}/_stream_ckpt", available_now=True
+        )
+        q.awaitTermination()
+    elif args.resume:
+        results = ckpt.run_resumable(spark, transcripts, args.out)
+        for r in results:
+            print(f"epoch {r.epoch}: {r.parsed_records} records {r.routed_per_sink}")
+    else:
+        result = run_to_sinks(spark, transcripts, args.out)
+        for row in result.summary.collect():
+            print(row)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

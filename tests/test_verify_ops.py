@@ -1,0 +1,89 @@
+"""V-stage operators: query fan-out cap/order (T5), evidence top-k (T2), and the
+T3 applyInPandas passage selector vs a pure-Python reference."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from openfactverification_spark.operators import enrich as enrich_ops
+from openfactverification_spark.operators import passages as passage_ops
+from openfactverification_spark.operators import verify as verify_ops
+from openfactverification_spark.plans.pipeline import build_pipeline
+from openfactverification_spark.sources.transcripts import transcripts_df
+
+
+def _routed(spark, n=512):
+    return build_pipeline(spark, transcripts_df(spark, n)).routed
+
+
+def test_query_fanout_cap_and_claim_first(spark):
+    qs = verify_ops.generate_queries(_routed(spark))
+    per_claim = qs.groupBy("conv_id", "turn_idx", "claim_idx", "claim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.when(F.col("query_idx") == 0, F.col("query"))).alias("first_query"),
+    )
+    bad = per_claim.filter(
+        (F.col("n") > verify_ops.MAX_QUERY_PER_CLAIM)
+        | (F.col("first_query") != F.col("claim"))
+    )
+    assert bad.count() == 0
+    assert qs.count() > 0
+
+
+def test_evidence_topk_bounded_and_ranked(spark):
+    topk = verify_ops.evidence_topk(_routed(spark), enrich_ops.evidence_dim(spark))
+    per_claim = topk.groupBy("conv_id", "turn_idx", "claim_idx").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rnk").alias("max_rnk")
+    )
+    assert per_claim.filter(F.col("n") > verify_ops.EVIDENCE_TOP_K).count() == 0
+    assert per_claim.filter(F.col("max_rnk") != F.col("n")).count() == 0
+
+
+def test_select_passages_matches_python_reference(spark):
+    # Build overlapping chunks for a few synthetic docs directly.
+    rows = []
+    for doc in range(20):
+        for start in range(0, 40, 8):
+            text = f"doc{doc} chunk starting {start} with deterministic words"
+            rows.append((doc, start, start + 10, text))
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, start_word int, end_word int, chunk_text string"
+    )
+    scored = passage_ops.with_scores(chunks)
+
+    got = {
+        tuple(r)
+        for r in passage_ops.select_passages(scored)
+        .orderBy("doc_id", "sel_rank")
+        .collect()
+    }
+
+    pdf = scored.toPandas()
+    expected = set()
+    for _, grp in pdf.groupby("doc_id"):
+        out = passage_ops.select_passages_pdf(grp)
+        expected |= {tuple(r) for r in out.itertuples(index=False)}
+    assert got == expected
+    # JVM-side score formula must equal the Python md5 formula.
+    sample = pdf.iloc[0]
+    assert passage_ops.chunk_score(sample["chunk_text"]) == sample["score"]
+
+
+def test_passage_selection_no_overlap_and_cap(spark):
+    rows = [
+        (1, s, s + 10, f"t{s}") for s in range(0, 100, 2)
+    ]  # heavily overlapping
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, start_word int, end_word int, chunk_text string"
+    )
+    sel = (
+        passage_ops.select_passages(passage_ops.with_scores(chunks))
+        .orderBy("sel_rank")
+        .collect()
+    )
+    assert 0 < len(sel) <= passage_ops.MAX_PASSAGES
+    ivs = [(r["start_word"], r["end_word"]) for r in sel]
+    for i, (s1, e1) in enumerate(ivs):
+        for s2, e2 in ivs[i + 1 :]:
+            assert e1 <= s2 or e2 <= s1  # disjoint
