@@ -113,6 +113,71 @@ def q_pipeline_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: round-robin selection — the i-th claim of each turn in turn order
+    until 5 per conversation (the reference's round-robin evidence aggregation
+    pattern, base.py:140-145: orderBy(rank, query) + cap)."""
+    from pyspark.sql.window import Window
+
+    routed = _pipe(spark).routed
+    w = Window.partitionBy("conv_id").orderBy("claim_idx", "turn_idx")
+    return (
+        routed.filter(F.col("record_kind") == "claim")
+        .withColumn("rr_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rr_rank") <= 5)
+        .select("conv_id", "turn_idx", "claim_idx", "rr_rank")
+    )
+
+
+def q_pipeline_evidence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: two evidence populations merged — answer-box style (synthesized
+    rank-0 snippet per checkworthy claim) unioned with the organic corpus, then
+    counted per source (serper_retriever.py:86-112 two-branch merge)."""
+    from .operators import enrich as enrich_ops
+
+    routed = _pipe(spark).routed
+    claims = routed.filter(
+        (F.col("record_kind") == "claim") & F.col("checkworthy")
+    ).select("conv_id", "turn_idx", "claim_idx", "claim_norm")
+
+    answer_box = claims.select(
+        "conv_id",
+        "turn_idx",
+        "claim_idx",
+        F.lit("answer_box").alias("source"),
+        F.concat(F.lit("AnswerBox: "), F.col("claim_norm")).alias("evidence_text"),
+    )
+    organic = (
+        claims.join(F.broadcast(enrich_ops.evidence_dim(spark)), "claim_norm")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "claim_idx",
+            F.lit("organic").alias("source"),
+            "evidence_text",
+        )
+    )
+    return answer_box.unionByName(organic).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_evidence")
+    )
+
+
+def q_pipeline_tool_last_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: last-write-wins per-key map — final status per (conv_id, tool_name)
+    by turn order (the dict.update accumulation, serper_retriever.py:108-112);
+    max_by/arg_max, no window needed."""
+    routed = _pipe(spark).routed
+    return (
+        routed.filter(F.col("record_kind") == "tool_call")
+        .groupBy("conv_id", "tool_name")
+        .agg(
+            F.expr("max_by(tool_status, turn_idx)").alias("last_status"),
+            F.max("turn_idx").alias("last_turn_idx"),
+            F.count(F.lit(1)).alias("n_calls"),
+        )
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_summary": q_pipeline_summary,
     "pipeline_summary_per_conv": q_pipeline_summary_per_conv,
@@ -126,6 +191,9 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_evidence_grouped": q_pipeline_evidence_grouped,
     "pipeline_rollup": q_pipeline_rollup,
     "pipeline_token_stats": q_pipeline_token_stats,
+    "pipeline_round_robin": q_pipeline_round_robin,
+    "pipeline_evidence_union": q_pipeline_evidence_union,
+    "pipeline_tool_last_status": q_pipeline_tool_last_status,
 }
 
 

@@ -288,6 +288,31 @@ SELECT {d.big('doc_id')} AS doc_id,
 FROM sh GROUP BY doc_id"""
 
 
+def q_clean_text(d: D, cap: int = 120) -> str:
+    """P4/P5/P8: newline squeeze + whitespace normalize + truncation cap +
+    length-band filter (the reference's crawl-text hygiene,
+    web_util.py:90-93 / serper_retriever.py:105 / Retriever/base.py:219-224)."""
+    if d.spark:
+        # Spark SQL string literals consume one backslash level; replacement
+        # via chr(10) avoids Java replacement-string escape pitfalls.
+        squeezed = "regexp_replace(text, '\\\\n+', chr(10))"
+        norm = f"regexp_replace(trim({squeezed}), '\\\\s+', ' ')"
+    else:
+        squeezed = "regexp_replace(text, '\\n+', chr(10), 'g')"
+        norm = f"regexp_replace(trim({squeezed}), '\\s+', ' ', 'g')"
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id, substring({norm}, 1, {cap}) AS clean_text,
+         length({norm}) AS full_len
+  FROM documents
+)
+SELECT {d.big('doc_id')} AS doc_id, clean_text,
+       cast(length(clean_text) as int) AS n_chars,
+       (full_len > {cap}) AS was_truncated
+FROM cleaned
+WHERE full_len BETWEEN 3 AND 100000"""
+
+
 def q_text_stats(d: D) -> str:
     """Token counting + quality scoring (length, distinct ratio, stopword ratio)
     — the text-analysis battery, all JVM-side expressions."""

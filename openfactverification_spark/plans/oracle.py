@@ -247,4 +247,33 @@ SELECT role, COUNT(*)::BIGINT AS n_turns,
        SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
        SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_regex_tokens
 FROM transcripts GROUP BY role""",
+        "pipeline_round_robin": f"""{ctes},
+rr AS (
+  SELECT conv_id, turn_idx, claim_idx,
+         CAST(row_number() OVER (
+             PARTITION BY conv_id ORDER BY claim_idx, turn_idx) AS INT) AS rr_rank
+  FROM routed WHERE record_kind = 'claim'
+)
+SELECT conv_id, turn_idx, claim_idx, rr_rank FROM rr WHERE rr_rank <= 5""",
+        "pipeline_evidence_union": f"""{ctes},
+cl AS (
+  SELECT conv_id, turn_idx, claim_idx, claim_norm
+  FROM routed WHERE record_kind = 'claim' AND checkworthy
+),
+unioned AS (
+  SELECT conv_id, turn_idx, claim_idx, 'answer_box' AS source,
+         'AnswerBox: ' || claim_norm AS evidence_text
+  FROM cl
+  UNION ALL
+  SELECT cl.conv_id, cl.turn_idx, cl.claim_idx, 'organic' AS source, e.evidence_text
+  FROM cl JOIN ev_dim e USING (claim_norm)
+)
+SELECT source, COUNT(*)::BIGINT AS n_evidence FROM unioned GROUP BY source""",
+        "pipeline_tool_last_status": f"""{ctes}
+SELECT conv_id, tool_name,
+       arg_max(tool_status, turn_idx) AS last_status,
+       MAX(turn_idx) AS last_turn_idx,
+       COUNT(*)::BIGINT AS n_calls
+FROM routed WHERE record_kind = 'tool_call'
+GROUP BY conv_id, tool_name""",
     }

@@ -53,3 +53,26 @@ def run_to_sinks(spark: SparkSession, transcripts: DataFrame, out_dir: str) -> P
     route_ops.write_sinks(result.routed, f"{out_dir}/sinks")
     result.summary.write.mode("overwrite").parquet(f"{out_dir}/summary")
     return result
+
+
+def observed_routed(transcripts: DataFrame, spark: SparkSession):
+    """The routed frame instrumented with an `observe` metric set — the A5
+    usage-accounting analog (/root/reference/factcheck/utils/llmclient/
+    gpt_client.py:36-41): per-action counts of records/claims/checkworthy/tool
+    errors ride the job itself (no second pass; collected from
+    df.attrs/Observation after an action). Returns (routed_df, observation).
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("pipeline_metrics")
+    routed = build_pipeline(spark, transcripts).routed.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((F.col("record_kind") == "claim").cast("long")).alias("n_claims"),
+        F.sum(F.coalesce(F.col("checkworthy"), F.lit(False)).cast("long")).alias(
+            "n_checkworthy"
+        ),
+        F.sum((F.col("tool_status") == "error").cast("long")).alias("n_tool_errors"),
+    )
+    return routed, obs

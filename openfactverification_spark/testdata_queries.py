@@ -28,6 +28,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "dedup_simhash": dual.q_dedup_simhash,
     "doc_fingerprint": dual.q_doc_fingerprint,
     "text_stats": dual.q_text_stats,
+    "clean_text": dual.q_clean_text,
     "text_lang_id": dual.q_lang_id,
     "chunk_documents": dual.q_chunk_documents,
     "embed_cosine_topk": dual.q_embed_cosine_topk,
