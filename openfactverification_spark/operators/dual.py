@@ -565,6 +565,56 @@ FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
 
 
+def q_embed_ivf_ann(d: D, k: int = 3, n_queries: int = 30) -> str:
+    """IVF-flavored ANN: assign every vector to its nearest fixed centroid
+    (argmax dot over the seeded centroid set — reusing the hyperplane vectors as
+    centroids), then exact cosine top-k within the query's cell (nprobe=1).
+
+    The cell assignment keys the shuffle, so at scale the search joins only
+    within cells — the IVF counterpart of the hyperplane-LSH bucket path
+    (q_embed_lsh_ann). Production extension: nprobe>1 = union over the
+    query's nearest P cells."""
+    n_c = len(H.HYPERPLANES)
+    dots = ",\n         ".join(
+        f"{_dot(d, 'embedding', d.arr(c))} AS d{i}" for i, c in enumerate(H.HYPERPLANES)
+    )
+    # argmax with ties to the lowest index: centroid i wins iff it strictly
+    # beats all earlier centroids and is >= all later ones
+    cases = []
+    for i in range(n_c):
+        conds = [f"d{i} > d{j}" for j in range(i)] + [
+            f"d{i} >= d{j}" for j in range(i + 1, n_c)
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN {i}" if conds else f"ELSE {i}")
+    bucket = "CASE " + " ".join(cases[:-1]) + f" ELSE {n_c - 1} END"
+    cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    return f"""
+WITH {cosine_cte(d)},
+dots AS (
+  SELECT vec_id, embedding, nrm, {dots}
+  FROM nv
+),
+cells AS (
+  SELECT vec_id, embedding, nrm, {bucket} AS cell
+  FROM dots
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         round({cos}, 6) AS cosine
+  FROM cells q JOIN cells c
+    ON q.cell = c.cell AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {n_queries}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
+       cast(cell as int) AS cell, cosine, cast(rnk as int) AS rnk
+FROM ranked WHERE rnk <= {k}"""
+
+
 # ======================================================================================
 # Events: routing / JSON / sessionization / as-of
 # ======================================================================================

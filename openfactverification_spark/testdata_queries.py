@@ -34,6 +34,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_cosine_topk": dual.q_embed_cosine_topk,
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_lsh_ann": dual.q_embed_lsh_ann,
+    "embed_ivf_ann": dual.q_embed_ivf_ann,
     "tpch_q1_pricing": dual.q_tpch_q1,
     "topk_revenue_orders": dual.q_topk_revenue_orders,
     "regional_revenue": dual.q_regional_revenue,

@@ -1,0 +1,65 @@
+"""Physical-plan shape guards: the scale properties the design promises must be
+visible in the executed plan, not just intended.
+
+These assert plan *classes* (broadcast vs sort-merge, narrow vs exchange), not
+exact strings, so Spark-version formatting changes won't break them.
+"""
+
+from __future__ import annotations
+
+from openfactverification_spark.plans.pipeline import build_pipeline
+from openfactverification_spark.sources.tables import table_path
+from openfactverification_spark.sources.transcripts import transcripts_df
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_routed_plan_is_narrow_with_broadcasts(spark):
+    routed = build_pipeline(spark, transcripts_df(spark, 1000)).routed
+    plan = _plan(routed)
+    assert plan.count("BroadcastHashJoin") == 3  # cw, stance, tools
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") == 1  # single explode, single scan
+    # the only exchanges allowed are broadcast builds (+ the tiny stance-dim agg)
+    for line in plan.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            assert "stance" in line.lower() or "hashpartitioning" in line.lower()
+    # no Python evaluation in the hot path
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_routed_no_expensive_expr_duplication(spark):
+    routed = build_pipeline(spark, transcripts_df(spark, 1000)).routed
+    plan = _plan(routed)
+    # the two fallback regexes must appear exactly once (the cw_fallback column),
+    # not inlined into every consumer (see operators/enrich.py)
+    assert plan.count("i think|i believe|in my opinion") == 1
+
+
+def test_parquet_scan_prunes_and_pushes_down(spark):
+    df = (
+        spark.read.parquet(table_path(SF_DIR, "lineitem"))
+        .filter("l_shipdate <= timestamp'1998-09-02 00:00:00'")
+        .select("l_returnflag", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the read schema must contain only the needed columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_returnflag", "l_quantity", "l_shipdate"}
+
+
+def test_global_topk_uses_take_ordered(spark):
+    from openfactverification_spark.testdata_queries import TESTDATA_QUERIES
+
+    df = TESTDATA_QUERIES["topk_revenue_orders"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan  # not a single-partition global sort
