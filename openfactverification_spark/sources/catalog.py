@@ -1,0 +1,65 @@
+"""Table-format adapter: Iceberg when a catalog is configured, parquet otherwise.
+
+The production shape (BASELINE.json north_star) is an Iceberg table partitioned
+`days(ts), bucket(conv_id)` with snapshot-id lineage; this container has no
+Iceberg runtime jar, so the adapter keeps one code path for callers and picks
+the format by what the session can see:
+
+  * read: catalog-qualified names (`cat.db.transcripts`) -> `spark.read.table`;
+    anything else -> parquet path.
+  * write: `writeTo(...).overwritePartitions()` (Iceberg idempotent partition
+    commit) when the target is a table name; dynamic-overwrite parquet
+    partitionBy otherwise (the exact stand-in checkpoint.py uses).
+  * lineage: Iceberg `table.snapshots` current id when available; else a
+    content fingerprint the caller supplies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def is_table_name(target: str) -> bool:
+    return "/" not in target and not target.startswith(("s3:", "file:", "hdfs:"))
+
+
+def read_transcripts(spark: SparkSession, target: str) -> DataFrame:
+    if is_table_name(target):
+        return spark.read.table(target)
+    return spark.read.parquet(target)
+
+
+def write_routed(routed: DataFrame, target: str) -> None:
+    """Idempotent partitioned sink commit, format chosen by target kind."""
+    df = routed.withColumn("ts_day", F.to_date("ts"))
+    if is_table_name(target):
+        # Iceberg path: partition spec lives on the table (days(ts),
+        # bucket(conv_id)); overwritePartitions replaces exactly the partitions
+        # present in df — the exactly-once primitive checkpoint.py emulates.
+        df.writeTo(target).overwritePartitions()
+        return
+    (
+        df.write.mode("overwrite")
+        .partitionBy("route", "ts_day")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(target)
+    )
+
+
+def current_lineage(spark: SparkSession, target: str, fallback: str = "") -> str:
+    """Iceberg snapshot-id when the metadata table exists; caller fingerprint
+    otherwise."""
+    if is_table_name(target):
+        try:
+            row = (
+                spark.read.table(f"{target}.snapshots")
+                .orderBy(F.desc("committed_at"))
+                .select("snapshot_id")
+                .first()
+            )
+            if row:
+                return f"iceberg-snapshot:{row['snapshot_id']}"
+        except Exception:
+            pass
+    return fallback
