@@ -38,6 +38,7 @@ TESTDATA_BENCH = [
     "text_stats",
     "embed_cosine_topk",
     "embed_lsh_ann",
+    "embed_ivf_ann",
     "tpch_q1_pricing",
     "regional_revenue",
     "window_topk_per_order",

@@ -100,19 +100,22 @@ def run_resumable(
     out_dir: str,
     lineage: str = "",
     fail_after_epochs: int | None = None,
+    fail_mid_epoch: bool = False,
 ) -> list[EpochResult]:
     """Process all not-yet-committed epochs; safe to re-invoke after a crash.
 
-    ``fail_after_epochs`` injects a crash after N epoch commits (tests only).
-    ``lineage`` identifies the input version (Iceberg snapshot-id in production;
-    any caller-supplied fingerprint here).
+    ``fail_after_epochs`` injects a crash after N epoch commits, before the
+    next epoch starts; ``fail_mid_epoch`` crashes AFTER the sink write but
+    BEFORE the manifest commit of the (fail_after_epochs+1)-th epoch — the
+    partial-state case resume must repair idempotently (tests only).
+    ``lineage`` identifies the input version (Iceberg snapshot-id in
+    production; any caller-supplied fingerprint here).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     todo = pending_epochs(spark, transcripts, out_dir)
     results: list[EpochResult] = []
 
     for i, epoch in enumerate(todo):
-        if fail_after_epochs is not None and i >= fail_after_epochs:
+        if fail_after_epochs is not None and not fail_mid_epoch and i >= fail_after_epochs:
             raise RuntimeError(f"injected failure before epoch {epoch}")
 
         # Partition-pruned slice: at cluster scale this filter reaches the
@@ -123,13 +126,18 @@ def run_resumable(
         result = build_pipeline(spark, day_slice)
         routed = result.routed.withColumn("p_day", F.lit(epoch)).persist()
 
-        # Sink write first (idempotent dynamic overwrite of (route, p_day)),
-        # metrics from the same cached pass, manifest commit last.
+        # Sink write first (idempotent dynamic overwrite of (route, p_day) —
+        # writer-scoped option, not a session-global conf), metrics from the
+        # same cached pass, manifest commit last.
         (
             routed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("route", "p_day")
             .parquet(os.path.join(out_dir, "sinks"))
         )
+        if fail_mid_epoch and fail_after_epochs is not None and i >= fail_after_epochs:
+            routed.unpersist()
+            raise RuntimeError(f"injected mid-epoch failure after sink write of {epoch}")
         per_sink = {
             r["route"]: r["n"]
             for r in routed.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 
 
 def is_table_name(target: str) -> bool:
-    return "/" not in target and not target.startswith(("s3:", "file:", "hdfs:"))
+    """Catalog tables must be dot-qualified (`db.table` / `cat.db.table`);
+    bare single tokens are treated as (relative) paths — safer for local use,
+    and production callers always qualify their catalog."""
+    import re
+
+    return bool(re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+", target))
 
 
 def read_transcripts(spark: SparkSession, target: str) -> DataFrame:

@@ -32,7 +32,11 @@ from ..sources.transcripts import _transcript_exprs
 def transcripts_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Synthetic transcripts as an unbounded stream (rate source; `value` = row id),
     rendered by the same dual-dialect formula as the batch/oracle table."""
-    exprs = _transcript_exprs("spark", t="value")
+    exprs = dict(_transcript_exprs("spark", t="value"))
+    # The batch formula cycles ts modulo 5 days — fine for bounded inputs, fatal
+    # under a watermark (older-day rows would arrive forever and be dropped).
+    # The live stream instead advances ts monotonically with the row id.
+    exprs["ts"] = "timestamp'2025-01-01 00:00:00' + make_interval(0,0,0,0,0,0,value)"
     return (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
@@ -93,10 +97,16 @@ def run_to_sinks_stream(
     routed = stream_routed(spark, transcripts)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a crash between this write and the
+        # streaming checkpoint commit re-runs the same batch_id on restart.
+        # Partitioning by batch_id + dynamic overwrite makes the re-run replace
+        # its own files instead of appending duplicates (idempotent).
         (
             batch_df.withColumn("ts_day", F.to_date("ts"))
-            .write.mode("append")
-            .partitionBy("route", "ts_day")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("route", "ts_day", "batch_id")
             .parquet(f"{out_dir}/sinks")
         )
 

@@ -69,8 +69,8 @@ def _make_runner(builder: Callable[[D], str]) -> Callable[[SparkSession, str], D
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: greedy non-overlapping passage selection per document via
     applyInPandas — registered rows-only (sequential greedy selection is not
-    SQL-expressible; correctness is pinned by tests/test_passages.py against a
-    pure-Python reference)."""
+    SQL-expressible; correctness is pinned by tests/test_verify_ops.py against
+    a pure-Python reference)."""
     from .operators import passages as passage_ops
 
     _register_views(spark, sf_dir)

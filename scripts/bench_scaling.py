@@ -1,15 +1,17 @@
 """Scaling-efficiency benchmark (north rule: throughput efficiency >=0.8 from N to 4N).
 
 No real cluster exists in this sandbox, so the two cluster sizes are evidenced by
-running the IDENTICAL job at two parallelism levels — local[8] (N) and local[32]
-(4N) — each in a FRESH JVM (subprocess), same input formula, and comparing:
+running the IDENTICAL job at two parallelism levels, each in a FRESH JVM
+(subprocess), same input formula, and comparing:
 
-  * turns/sec at each level,
-  * scaling efficiency = (throughput_32 / throughput_8) / (32 / 8),
-  * exact per-sink aggregate equality across levels (printed hashes must match).
+  * turns/sec at each level (best of N rounds, levels alternated per round),
+  * scaling efficiency = (throughput_hi / throughput_lo) / (hi / lo),
+  * exact per-sink aggregate equality across levels (hashes must match).
 
-Usage:  python scripts/bench_scaling.py [n_turns] [runs_per_level]
-Emits one JSON line; also appends a Markdown row you can paste into BENCH.md.
+Usage:  python scripts/bench_scaling.py [n_turns] [runs_per_level] [lo] [hi]
+Defaults: 8M turns, 3 rounds, local[2] vs local[8] — the N-vs-4N pair inside
+this VM's memory-bandwidth envelope (see BENCH.md §2 for why not 8-vs-32 here).
+Emits one JSON line.
 """
 
 from __future__ import annotations

@@ -13,7 +13,12 @@ wins. Input defaults to the deterministic synthetic transcripts generator; swap
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# Plain `python scripts/job.py` runs get the package from the repo checkout;
+# spark-submit --py-files runs get it from the shipped zip (this is a no-op).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -42,19 +47,31 @@ def main() -> None:
     from openfactverification_spark.plans.pipeline import run_to_sinks
     from openfactverification_spark.sources.transcripts import transcripts_df
 
+    if args.streaming:
+        from openfactverification_spark.streaming.pipeline import (
+            run_to_sinks_stream,
+            transcripts_stream,
+        )
+
+        if args.input_parquet:
+            schema = spark.read.parquet(args.input_parquet).schema
+            stream = spark.readStream.schema(schema).parquet(args.input_parquet)
+        else:
+            stream = transcripts_stream(spark)
+        q = run_to_sinks_stream(
+            spark, stream, args.out, f"{args.out}/_stream_ckpt",
+            available_now=bool(args.input_parquet),  # rate source runs until killed
+        )
+        q.awaitTermination()
+        spark.stop()
+        return
+
     if args.input_parquet:
         transcripts = spark.read.parquet(args.input_parquet)
     else:
         transcripts = transcripts_df(spark, args.n_turns, skew_pct=args.skew_pct)
 
-    if args.streaming:
-        from openfactverification_spark.streaming.pipeline import run_to_sinks_stream
-
-        q = run_to_sinks_stream(
-            spark, transcripts, args.out, f"{args.out}/_stream_ckpt", available_now=True
-        )
-        q.awaitTermination()
-    elif args.resume:
+    if args.resume:
         results = ckpt.run_resumable(spark, transcripts, args.out)
         for r in results:
             print(f"epoch {r.epoch}: {r.parsed_records} records {r.routed_per_sink}")

@@ -12,9 +12,13 @@ from openfactverification_spark.sources.transcripts import transcripts_df
 
 def test_target_kind_dispatch():
     assert catalog.is_table_name("cat.db.transcripts")
-    assert catalog.is_table_name("transcripts")
+    assert catalog.is_table_name("db.transcripts")
+    # bare tokens and anything path-like are paths, not tables
+    assert not catalog.is_table_name("transcripts")
+    assert not catalog.is_table_name("out")
     assert not catalog.is_table_name("/tmp/x")
     assert not catalog.is_table_name("s3://bucket/x")
+    assert not catalog.is_table_name("dir/file.parquet")
 
 
 def test_parquet_roundtrip_and_lineage_fallback(spark, tmp_path):

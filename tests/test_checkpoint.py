@@ -39,6 +39,28 @@ def test_crash_resume_exactly_once(spark, tmp_path):
     assert ckpt.run_resumable(spark, transcripts, out_dir) == []
 
 
+def test_mid_epoch_crash_leaves_no_duplicates(spark, tmp_path):
+    """Crash AFTER an epoch's sink write but BEFORE its manifest commit: the
+    orphaned partition files must be replaced (not duplicated) on resume."""
+    transcripts = transcripts_df(spark, N_TURNS)
+
+    ref_dir = str(tmp_path / "ref")
+    ckpt.run_resumable(spark, transcripts, ref_dir)
+    ref_counts = ckpt.sink_counts(spark, ref_dir)
+
+    out_dir = str(tmp_path / "mid")
+    with pytest.raises(RuntimeError, match="mid-epoch"):
+        ckpt.run_resumable(
+            spark, transcripts, out_dir, fail_after_epochs=1, fail_mid_epoch=True
+        )
+    # epoch 0 committed; epoch 1's sink files exist but are NOT in the manifest
+    assert len(ckpt.committed_epochs(out_dir)) == 1
+
+    resumed = ckpt.run_resumable(spark, transcripts, out_dir)
+    assert len(resumed) == 4  # epochs 1-4 re-ran, incl. the partially-written one
+    assert ckpt.sink_counts(spark, out_dir) == ref_counts
+
+
 def test_manifest_metrics_match_sinks(spark, tmp_path):
     out_dir = str(tmp_path / "m")
     ckpt.run_resumable(spark, transcripts_df(spark, N_TURNS), out_dir, lineage="v1")

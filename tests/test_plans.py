@@ -24,10 +24,15 @@ def test_routed_plan_is_narrow_with_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") == 3  # cw, stance, tools
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate") == 1  # single explode, single scan
-    # the only exchanges allowed are broadcast builds (+ the tiny stance-dim agg)
-    for line in plan.splitlines():
-        if "Exchange" in line and "BroadcastExchange" not in line:
-            assert "stance" in line.lower() or "hashpartitioning" in line.lower()
+    # the only non-broadcast exchange allowed is the tiny stance-dim aggregate
+    # (16 input rows on the broadcast BUILD side); the fact-table path itself
+    # must be shuffle-free
+    non_broadcast = [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    ]
+    assert len(non_broadcast) <= 1, non_broadcast
     # no Python evaluation in the hot path
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
