@@ -276,6 +276,76 @@ FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count({d.xor('a.simhash', 'b.simhash')}) <= {max_hamming}"""
 
 
+def simhash_cte(d: D) -> str:
+    """CTE chain ending in `sim(doc_id, simhash)` — shared by the all-pairs
+    baseline and the banded scale path."""
+    bits = H.SIMHASH_BITS
+    h = d.h7("word")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN ({d.shr('h', b)} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    explode_words = (
+        f"SELECT doc_id, explode({d.adistinct(words_cte(d))}) AS word FROM documents"
+        if d.spark
+        else f"SELECT doc_id, unnest({d.adistinct(words_cte(d))}) AS word FROM documents"
+    )
+    return f"""w AS ({explode_words}),
+hashes AS (SELECT doc_id, {h} AS h FROM w),
+bitsum AS (
+  SELECT doc_id, {bit_sums}
+  FROM hashes GROUP BY doc_id
+),
+sim AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM bitsum)"""
+
+
+def q_dedup_simhash_banded(d: D, max_hamming: int = 6) -> str:
+    """SimHash near-dup via banded candidate generation — the scale path.
+
+    Pigeonhole: pairs within hamming <= {k} over {bits} bits, split into {k}+1
+    bands, must agree exactly on at least one band — so candidates come from a
+    per-band equi-join (shuffle keyed on (band_idx, band_val)), never the
+    all-pairs cross join of q_dedup_simhash. Exact bit_count verify keeps the
+    output identical to the baseline."""
+    bits, n_bands = H.SIMHASH_BITS, max_hamming + 1
+    base, rem = divmod(bits, n_bands)
+    widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    band_rows = []
+    for i, (off, wd) in enumerate(zip(offsets, widths)):
+        mask = (1 << wd) - 1
+        band_rows.append(
+            f"SELECT doc_id, simhash, {i} AS band_idx, "
+            f"({d.shr('simhash', off)} & {mask}) AS band_val FROM sim"
+        )
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('band_idx', {i}, 'band_val', {d.shr('simhash', off)} & {(1 << wd) - 1})"
+            for i, (off, wd) in enumerate(zip(offsets, widths))
+        )
+        bands_sql = (
+            "SELECT doc_id, simhash, bb.band_idx AS band_idx, bb.band_val AS band_val\n"
+            f"  FROM sim LATERAL VIEW explode(array({structs})) t AS bb"
+        )
+    else:
+        bands_sql = "\n  UNION ALL\n  ".join(band_rows)
+    return f"""
+WITH {simhash_cte(d)},
+bands AS (
+  {bands_sql}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sim_a, b.doc_id AS id_b, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT {d.big('id_a')} AS id_a, {d.big('id_b')} AS id_b,
+       cast(bit_count({d.xor('sim_a', 'sim_b')}) as int) AS hamming
+FROM cand
+WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {max_hamming}"""
+
+
 def q_doc_fingerprint(d: D, n: int = 4) -> str:
     """Rolling-hash document fingerprint: min/max shingle hash + distinct-shingle
     count (winnowing-style content signature)."""

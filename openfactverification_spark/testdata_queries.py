@@ -26,6 +26,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "minhash_signatures": dual.q_minhash_signatures,
     "dedup_minhash_lsh": dual.q_dedup_minhash_lsh,
     "dedup_simhash": dual.q_dedup_simhash,
+    "dedup_simhash_banded": dual.q_dedup_simhash_banded,
     "doc_fingerprint": dual.q_doc_fingerprint,
     "text_stats": dual.q_text_stats,
     "clean_text": dual.q_clean_text,
