@@ -249,27 +249,10 @@ WHERE cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common) >= {threshold}""
 
 def q_dedup_simhash(d: D, max_hamming: int = 6) -> str:
     """SimHash near-dup: per-doc {bits}-bit simhash over word hashes, then pairs
-    with hamming distance <= max_hamming via bit_count(xor)."""
-    bits = H.SIMHASH_BITS
-    h = d.h7("word")
-    bit_sums = ",\n         ".join(
-        f"sum(CASE WHEN ({d.shr('h', b)} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
-        for b in range(bits)
-    )
-    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
-    explode_words = (
-        f"SELECT doc_id, explode({d.adistinct(words_cte(d))}) AS word FROM documents"
-        if d.spark
-        else f"SELECT doc_id, unnest({d.adistinct(words_cte(d))}) AS word FROM documents"
-    )
+    with hamming distance <= max_hamming via bit_count(xor). All-pairs — the
+    test-scale baseline; q_dedup_simhash_banded is the scale path."""
     return f"""
-WITH w AS ({explode_words}),
-hashes AS (SELECT doc_id, {h} AS h FROM w),
-bitsum AS (
-  SELECT doc_id, {bit_sums}
-  FROM hashes GROUP BY doc_id
-),
-sim AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM bitsum)
+WITH {simhash_cte(d)}
 SELECT {d.big('a.doc_id')} AS id_a, {d.big('b.doc_id')} AS id_b,
        cast(bit_count({d.xor('a.simhash', 'b.simhash')}) as int) AS hamming
 FROM sim a JOIN sim b ON a.doc_id < b.doc_id
