@@ -169,21 +169,25 @@ WHERE cast(n_common as double) / (sa.sz + sb.sz - n_common) >= {threshold}"""
 
 
 def minhash_sig_cte(d: D, n: int = 3) -> str:
-    """CTE: per-doc MinHash signature columns mh0..mh{K-1} plus shingle count sz.
+    """CTE: per-doc MinHash signature columns mh0..mh{K-1}, plus a slim `sizes`
+    CTE (doc_id, sz) for jaccard denominators.
 
     The md5-derived base hash is materialized once per shingle in `hx` — inlining
-    it into each of the K min() aggregates would md5 every shingle K times. sz
-    rides the same groupBy so no second pass over the shingles is needed for
-    jaccard denominators."""
+    it into each of the K min() aggregates would md5 every shingle K times.
+    `sizes` is deliberately a separate count-only CTE: Spark inlines CTEs, so a
+    consumer joining `sig` twice for denominators would re-run the full K-way
+    minhash aggregation per reference; re-running a bare count over the shingle
+    explode is cheap by comparison."""
     mins = ",\n         ".join(
         f"min({H.minhash_expr(k, 'h')}) AS mh{k}" for k in range(H.MINHASH_K)
     )
     return f"""sh AS ({doc_shingles_sql(d, n)}),
 hx AS (SELECT doc_id, {d.h7('shingle')} AS h FROM sh),
 sig AS (
-  SELECT doc_id, count(*) AS sz, {mins}
+  SELECT doc_id, {mins}
   FROM hx GROUP BY doc_id
-)"""
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
 def q_minhash_signatures(d: D) -> str:
@@ -242,8 +246,8 @@ verified AS (
 SELECT {d.big('v.id_a')} AS id_a, {d.big('v.id_b')} AS id_b,
        round(cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common), 6) AS jaccard
 FROM verified v
-JOIN sig sa ON sa.doc_id = v.id_a
-JOIN sig sb ON sb.doc_id = v.id_b
+JOIN sizes sa ON sa.doc_id = v.id_a
+JOIN sizes sb ON sb.doc_id = v.id_b
 WHERE cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common) >= {threshold}"""
 
 
@@ -415,6 +419,62 @@ SELECT {d.big('doc_id')} AS doc_id,
        cast(least(start_word + {size}, {d.alen(w)}) as int) AS end_word,
        {chunk} AS chunk_text
 FROM {from_clause} t"""
+
+
+def chunk_passages_oracle(size: int = 10, step: int = 8, max_passages: int = 5) -> str:
+    """DuckDB-only oracle for the T3 greedy passage selector (operators/passages.py).
+
+    The Spark side is applyInPandas (sequential per group); the oracle expresses
+    the same greedy scan as a recursive CTE whose state is the per-doc list of
+    chosen intervals: at step i the candidate ranked i+1 (score desc, start_word)
+    is admitted iff fewer than `max_passages` are chosen and neither of its
+    endpoints falls inside a chosen interval (the reference predicate,
+    /root/reference/factcheck/core/Retriever/base.py:174-182, exclusive-end
+    translation as in passages.select_passages_pdf). Scores are the same
+    portable md5-prefix hash both engines compute (functions/hashing.h7)."""
+    d = D("duckdb")
+    chunks_sql = q_chunk_documents(d, size=size, step=step)
+    overlap = (
+        "(c.s <= r.start_word AND r.start_word < c.e) "
+        "OR (c.s < r.end_word AND r.end_word <= c.e)"
+    )
+    return f"""
+WITH RECURSIVE chunks AS ({chunks_sql}
+),
+scored AS (
+  SELECT doc_id, start_word, end_word, {d.h7('chunk_text')} AS score FROM chunks
+),
+ranked AS (
+  SELECT doc_id, start_word, end_word, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, start_word) AS ord
+  FROM scored
+),
+counts AS (SELECT doc_id, max(ord) AS n FROM ranked GROUP BY doc_id),
+sel AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS i,
+         CAST([] AS STRUCT(s INT, e INT, sc BIGINT)[]) AS chosen
+  FROM counts
+  UNION ALL
+  SELECT st.doc_id, st.i + 1,
+         CASE WHEN len(st.chosen) < {max_passages}
+               AND len(list_filter(st.chosen, c -> {overlap})) = 0
+              THEN list_append(st.chosen,
+                               {{'s': r.start_word, 'e': r.end_word, 'sc': r.score}})
+              ELSE st.chosen END
+  FROM sel st JOIN ranked r ON r.doc_id = st.doc_id AND r.ord = st.i + 1
+),
+final AS (
+  SELECT st.doc_id, st.chosen
+  FROM sel st JOIN counts c ON c.doc_id = st.doc_id AND st.i = c.n
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(chosen[u.i + 1].s AS INT) AS start_word,
+       CAST(chosen[u.i + 1].e AS INT) AS end_word,
+       CAST(chosen[u.i + 1].sc AS BIGINT) AS score,
+       CAST(u.i + 1 AS INT) AS sel_rank
+FROM final, (SELECT unnest(range(0, {max_passages})) AS i) u
+WHERE u.i < len(chosen)"""
 
 
 # ======================================================================================

@@ -43,13 +43,25 @@ def chunk_score(text: str) -> int:
 def select_passages_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     """Greedy per-doc selection: score desc (tie: start_word), reject overlaps,
     cap MAX_PASSAGES. Pure function of one group — reused by tests as the
-    reference implementation."""
+    reference implementation.
+
+    The overlap predicate mirrors the reference exactly
+    (/root/reference/factcheck/core/Retriever/base.py:174-182): a candidate is
+    rejected iff one of ITS endpoints falls inside an already-chosen interval
+    (a candidate strictly containing a chosen passage would be admitted there).
+    The reference's end index is inclusive; ours is exclusive, so
+    cand.start ∈ [s, e-1] becomes s <= cs < e and cand.end-1 ∈ [s, e-1]
+    becomes s < ce <= e. For sliding-window chunk geometry (an earlier chunk
+    never strictly contains a later one) this is equivalent to any-intersection,
+    but the predicate is now the reference's, not an approximation."""
     pdf = pdf.sort_values(["score", "start_word"], ascending=[False, True])
     chosen: list[tuple[int, int, int]] = []  # (start, end, score)
     for row in pdf.itertuples(index=False):
         if len(chosen) >= MAX_PASSAGES:
             break
-        if any(not (row.end_word <= s or row.start_word >= e) for s, e, _ in chosen):
+        if any(
+            (s <= row.start_word < e) or (s < row.end_word <= e) for s, e, _ in chosen
+        ):
             continue
         chosen.append((row.start_word, row.end_word, row.score))
     doc_id = int(pdf["doc_id"].iloc[0]) if len(pdf) else 0

@@ -20,13 +20,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_FILE_EXTENSIONS = ("parquet", "json", "csv", "orc", "avro", "txt", "tsv")
+
+
 def is_table_name(target: str) -> bool:
     """Catalog tables must be dot-qualified (`db.table` / `cat.db.table`);
     bare single tokens are treated as (relative) paths — safer for local use,
-    and production callers always qualify their catalog."""
+    and production callers always qualify their catalog. A dotted token whose
+    last segment is a known file extension (``data.parquet``) is a path, not a
+    table."""
     import re
 
-    return bool(re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+", target))
+    if not re.fullmatch(r"[A-Za-z_]\w*(\.[A-Za-z_]\w*)+", target):
+        return False
+    return target.rsplit(".", 1)[1].lower() not in _FILE_EXTENSIONS
 
 
 def read_transcripts(spark: SparkSession, target: str) -> DataFrame:

@@ -69,9 +69,10 @@ def _make_runner(builder: Callable[[D], str]) -> Callable[[SparkSession, str], D
 
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: greedy non-overlapping passage selection per document via
-    applyInPandas — registered rows-only (sequential greedy selection is not
-    SQL-expressible; correctness is pinned by tests/test_verify_ops.py against
-    a pure-Python reference)."""
+    applyInPandas (sequential per group — the grouped-map shape). The DuckDB
+    oracle expresses the same greedy scan as a recursive CTE
+    (dual.chunk_passages_oracle); correctness is additionally pinned by
+    tests/test_verify_ops.py against a pure-Python reference."""
     from .operators import passages as passage_ops
 
     _register_views(spark, sf_dir)
@@ -87,3 +88,4 @@ TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
+TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
