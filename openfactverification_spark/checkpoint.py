@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from .operators import route as route_ops
 from .plans.pipeline import build_pipeline
+from .rulepack import DEFAULT_PACK, RulePack
 
 SCHEMA_VERSION = 1
 
@@ -101,6 +102,7 @@ def run_resumable(
     lineage: str = "",
     fail_after_epochs: int | None = None,
     fail_mid_epoch: bool = False,
+    pack: RulePack = DEFAULT_PACK,
 ) -> list[EpochResult]:
     """Process all not-yet-committed epochs; safe to re-invoke after a crash.
 
@@ -109,7 +111,9 @@ def run_resumable(
     BEFORE the manifest commit of the (fail_after_epochs+1)-th epoch — the
     partial-state case resume must repair idempotently (tests only).
     ``lineage`` identifies the input version (Iceberg snapshot-id in
-    production; any caller-supplied fingerprint here).
+    production; any caller-supplied fingerprint here). The parser rule-pack
+    identity (``name@version``) is recorded in every epoch's manifest entry,
+    so a run is auditable down to the segmentation rules it used.
     """
     todo = pending_epochs(spark, transcripts, out_dir)
     results: list[EpochResult] = []
@@ -123,7 +127,7 @@ def run_resumable(
         day_slice = transcripts.filter(
             F.date_format(F.to_date("ts"), "yyyy-MM-dd") == epoch
         )
-        result = build_pipeline(spark, day_slice)
+        result = build_pipeline(spark, day_slice, pack=pack)
         routed = result.routed.withColumn("p_day", F.lit(epoch)).persist()
 
         # Sink write first (idempotent dynamic overwrite of (route, p_day) —
@@ -151,6 +155,7 @@ def run_resumable(
                 "epoch": epoch,
                 "lineage": lineage,
                 "schema_version": SCHEMA_VERSION,
+                "rulepack": pack.identity,
                 "metrics": {"parsed_records": parsed, "routed_per_sink": per_sink},
             },
         )

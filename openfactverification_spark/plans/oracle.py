@@ -17,6 +17,7 @@ from ..operators.verify import (
     MAX_QUERY_PER_CLAIM as _MAX_QUERY_PER_CLAIM,
     QUERY_TEMPLATES as _QUERY_TEMPLATES,
 )
+from ..rulepack import DEFAULT_PACK
 from ..sources.transcripts import (
     DEFAULT_REASON,
     checkworthy_labels_rows,
@@ -25,9 +26,11 @@ from ..sources.transcripts import (
     transcripts_duckdb_sql,
 )
 
-TOOL_RE_SQL = r'^CALL (\w+)\(q="(.*)"\) -> (\w+)$'
-OPINION_RE_SQL = r"^(i think|i believe|in my opinion)\b"
-VAGUE_RE_SQL = r"^(he|she|it|they)\s"
+# Oracle regexes come from the SAME rule-pack the Spark pipeline loads — the
+# oracle executes the pack, it does not duplicate it.
+TOOL_RE_SQL = DEFAULT_PACK.tool_call_pattern
+OPINION_RE_SQL = DEFAULT_PACK.opinion_pattern
+VAGUE_RE_SQL = DEFAULT_PACK.vague_pattern
 
 
 def _q(v) -> str:
@@ -75,27 +78,30 @@ stance_dim AS (
   FROM ev_dim GROUP BY claim_norm
 ),
 sentized AS (
-  SELECT *, string_split(regexp_replace(text, '([.!?]) ', '\\1' || chr(1), 'g'), chr(1)) AS sents
+  SELECT *, {DEFAULT_PACK.duckdb_split_sql('text')} AS sents
   FROM transcripts
   WHERE NOT regexp_matches(text, {_q(TOOL_RE_SQL)})
 ),
 claims0 AS (
   SELECT conv_id, turn_idx, role, ts, text,
-         unnest(sents) AS claim,
+         unnest(sents) AS seg,
          CAST(unnest(range(0, len(sents))) AS INT) AS claim_idx
   FROM sentized
 ),
-records AS (
-  SELECT conv_id, turn_idx, role, ts, text, 'claim' AS record_kind, claim_idx, claim,
-         CAST(COALESCE(SUM(length(claim) + 1) OVER (
+spanned AS (
+  SELECT conv_id, turn_idx, role, ts, text, claim_idx, seg,
+         CAST(COALESCE(SUM(length(seg)) OVER (
              PARTITION BY conv_id, turn_idx ORDER BY claim_idx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS span_start,
-         CAST(COALESCE(SUM(length(claim) + 1) OVER (
-             PARTITION BY conv_id, turn_idx ORDER BY claim_idx
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + length(claim) AS INT) AS span_end,
-         NULL::VARCHAR AS tool_name, NULL::VARCHAR AS tool_query, NULL::VARCHAR AS tool_status
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS span_start
   FROM claims0
-  WHERE length(trim(claim)) >= {MIN_SENT_LEN}
+),
+records AS (
+  SELECT conv_id, turn_idx, role, ts, text, 'claim' AS record_kind, claim_idx,
+         trim(seg) AS claim, span_start,
+         CAST(span_start + length(seg) AS INT) AS span_end,
+         NULL::VARCHAR AS tool_name, NULL::VARCHAR AS tool_query, NULL::VARCHAR AS tool_status
+  FROM spanned
+  WHERE length(trim(seg)) >= {MIN_SENT_LEN}
   UNION ALL BY NAME
   SELECT conv_id, turn_idx, role, ts, text, 'tool_call' AS record_kind,
          0 AS claim_idx, NULL::VARCHAR AS claim, NULL::INT AS span_start, NULL::INT AS span_end,
@@ -184,7 +190,11 @@ SELECT conv_id, turn_idx, claim_idx, claim, span_start, span_end
 FROM records WHERE record_kind = 'claim'""",
         "pipeline_span_invariant": f"""{ctes}
 SELECT conv_id, turn_idx,
-       (string_agg(claim, ' ' ORDER BY claim_idx) = any_value(text)) AS spans_ok
+       (MIN(span_start) = 0
+        AND MAX(span_end) = length(any_value(text))
+        AND SUM(span_end - span_start) = length(any_value(text))
+        AND bool_and(claim = trim(substring(text, span_start + 1, span_end - span_start)))
+       ) AS spans_ok
 FROM records WHERE record_kind = 'claim'
 GROUP BY conv_id, turn_idx""",
         "pipeline_tool_trace": f"""{ctes}

@@ -17,6 +17,7 @@ from ..operators import aggregate as agg_ops
 from ..operators import enrich as enrich_ops
 from ..operators import parse as parse_ops
 from ..operators import route as route_ops
+from ..rulepack import DEFAULT_PACK, RulePack
 
 
 @dataclass
@@ -28,12 +29,14 @@ class PipelineResult:
     verdicts: DataFrame  # per-claim verdict projection
 
 
-def build_pipeline(spark: SparkSession, transcripts: DataFrame) -> PipelineResult:
+def build_pipeline(
+    spark: SparkSession, transcripts: DataFrame, pack: RulePack = DEFAULT_PACK
+) -> PipelineResult:
     cw = enrich_ops.checkworthy_dim(spark)
     stance = enrich_ops.stance_counts_dim(spark)
     tools = enrich_ops.tool_dim(spark)
 
-    records = parse_ops.parse_turns(transcripts)
+    records = parse_ops.parse_turns(transcripts, pack)
     enriched = enrich_ops.enrich_tools(
         enrich_ops.enrich_claims(records, cw, stance), tools
     )

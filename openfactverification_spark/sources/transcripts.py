@@ -14,12 +14,15 @@ It is rendered in two dialects:
   * ``transcripts_duckdb_sql(n)``     — the same formula as a DuckDB SELECT, used as
     the independent oracle for driver correctness checks.
 
-Text content mirrors the checkworthy/unworthy mix of the reference's test corpus
-(/root/reference/script/minimal_test_en.json:3-57): verifiable claims, opinion
-sentences, vague-pronoun sentences; tool turns carry a grok-parsable invocation
-(`CALL tool(q="...") -> status`). Sentences are joined with a single space and each
-ends in [.!?], so claim spans concatenate back to the turn text exactly
-(the reference's span contract, /root/reference/factcheck/core/Decompose.py:92-107).
+Text content mirrors the checkworthy/unworthy mix of the reference's test corpora
+(/root/reference/script/minimal_test_en.json:3-57 and minimal_test_zh.json):
+verifiable claims, opinion sentences, vague-pronoun sentences, CJK sentences
+(。-terminated, no trailing space), and an abbreviation-bearing sentence ("Dr.")
+exercising the rule-pack's protect rules; tool turns carry a grok-parsable
+invocation (`CALL tool(q="...") -> status`). Sentences are joined with a single
+space; the parser's raw segments partition each turn text gap-free, so spans
+concatenate back to the turn exactly (the reference's span contract,
+/root/reference/factcheck/core/Decompose.py:92-107).
 """
 
 from __future__ import annotations
@@ -66,6 +69,18 @@ SENTS: list[dict] = [
          reason=None, evidence=[]),  # absent from checkworthy dim -> fallback rule path
     dict(i=15, text="Bitcoin was created in 2009.", kind="fact", checkworthy=True,
          reason="Verifiable historical fact.", evidence=["SUPPORTS", "REFUTES", "REFUTES"]),
+    # CJK rows (multilingual segmentation — template: the reference's zh test
+    # corpus, /root/reference/script/minimal_test_zh.json; 。 terminator, no
+    # trailing space).
+    dict(i=16, text="地球绕着太阳转。", kind="fact", checkworthy=True,
+         reason="可验证的天文事实。", evidence=["SUPPORTS", "SUPPORTS"]),
+    dict(i=17, text="长城位于中国。", kind="fact", checkworthy=True,
+         reason=None, evidence=[]),  # absent from dim -> fallback rule path (zh)
+    dict(i=18, text="我认为这个设计很优雅。", kind="opinion", checkworthy=False,
+         reason="主观意见，非事实断言。", evidence=[]),
+    # Abbreviation row: "Dr. " must NOT split (rule-pack protect rule).
+    dict(i=19, text="Dr. Smith works at Stanford University.", kind="fact", checkworthy=True,
+         reason="Verifiable employment claim.", evidence=["SUPPORTS", "IRRELEVANT"]),
 ]
 
 # (tool, category, description); 'code' is deliberately absent from the tool_metadata
@@ -121,10 +136,11 @@ def _transcript_exprs(dialect: str, t: str = "t") -> dict[str, str]:
     n_sents = f"(1 + (({t} * 13) % 3))"
     # selector arithmetic mixes in conv_seq so selections decorrelate from the
     # within-conversation position (t % 8); multipliers chosen coprime to moduli
+    n_s = len(SENTS)
     tool_name = _elem(dialect, tools, f"({t} + {conv_seq}) % 4")
-    qtext = _elem(dialect, sents, f"({t} * 11 + {conv_seq}) % 16")
+    qtext = _elem(dialect, sents, f"({t} * 11 + {conv_seq}) % {n_s}")
     status = _elem(dialect, statuses, f"{t} % 5")
-    sent_j = _elem(dialect, sents, f"({t} * 7 + {conv_seq} + j * 5) % 16")
+    sent_j = _elem(dialect, sents, f"({t} * 7 + {conv_seq} + j * 5) % {n_s}")
 
     if dialect == "spark":
         cast_str = "string"
