@@ -9,6 +9,22 @@ integers — bit-identical in both engines:
 
 A 7-hex-digit prefix is < 2^28, so affine re-hashes (a*h + b) mod P with
 a,b < 2^31 stay well inside signed-64 range — no overflow on either engine.
+
+Sketch parameters ARE the scale story for the dedup/ANN family, so they are
+module-level *defaults* that every query builder accepts as arguments:
+
+  * MinHash: K=128 signatures as 16 bands x 8 rows — the production default
+    (collision prob at jaccard s is 1-(1-s^8)^16: ~0.9999 at s=0.9, ~0.24 at
+    s=0.6, ~0 at s<0.3), a sharp enough curve that candidate volume stays
+    ~linear in corpus size instead of exploding with false-positive bands.
+    K=8 (4x2) was the round-1 toy sketch; it survives only in docstrings.
+  * Hyperplane LSH: a seeded pool of 64 hyperplanes. Single-table queries slice
+    the first `n_planes` (buckets = 2^n_planes; size n_planes ≈
+    log2(N / target_bucket_rows) so bucket population stays bounded as N
+    grows); multi-table queries take L disjoint slices of p planes each and
+    union candidates (per-pair hit prob 1-(1-q^p)^L with q = 1 - angle/pi).
+  * IVF: `n_cells` seeded centroids (production: ~sqrt(N), k-means-refined)
+    with `nprobe` cells searched per query.
 """
 
 from __future__ import annotations
@@ -19,23 +35,40 @@ import numpy as np
 MERSENNE_P = 2_147_483_647
 
 # MinHash family: K affine hash functions, coefficients fixed by seed so both
-# dialects embed the same literals. K=8 signatures, 4 bands x 2 rows (classic
-# banding: collision prob at jaccard s is 1-(1-s^2)^4).
-MINHASH_K = 8
-MINHASH_BANDS = 4
+# dialects embed the same literals.
+MINHASH_K = 128
+MINHASH_BANDS = 16  # 16 bands x 8 rows
 _rng = np.random.RandomState(42)
 MINHASH_A = [int(x) for x in _rng.randint(1, MERSENNE_P, size=MINHASH_K)]
 MINHASH_B = [int(x) for x in _rng.randint(0, MERSENNE_P, size=MINHASH_K)]
 
-# Random-hyperplane LSH for embeddings: n_planes x dim literal matrix, seeded.
-LSH_PLANES = 8
+# Random-hyperplane pool for embedding LSH: pool_size x dim literal matrix,
+# seeded. Queries slice what they need (single-table prefix or per-table
+# disjoint slices), so every configuration draws from one fixed pool.
+HYPERPLANE_POOL_SIZE = 64
 EMBED_DIM = 64
 _rng2 = np.random.RandomState(7)
-HYPERPLANES = [
-    [round(float(v), 6) for v in _rng2.randn(EMBED_DIM)] for _ in range(LSH_PLANES)
+HYPERPLANE_POOL = [
+    [round(float(v), 6) for v in _rng2.randn(EMBED_DIM)]
+    for _ in range(HYPERPLANE_POOL_SIZE)
 ]
 
+# Single-table default: 8 planes = 256 buckets (test scale; at N=10^12 use
+# n_planes ~ log2(N / 10^5) ~ 23, or the multi-table path for recall).
+LSH_PLANES = 8
+HYPERPLANES = HYPERPLANE_POOL[:LSH_PLANES]
+
 SIMHASH_BITS = 24
+
+# IVF defaults: centroids from a second seeded pool (production: ~sqrt(N)
+# k-means centroids; these stand in deterministically), nprobe>1 unions the
+# query's nearest cells to recover recall lost at cell boundaries.
+IVF_CELLS = 16
+IVF_NPROBE = 2
+_rng3 = np.random.RandomState(11)
+IVF_CENTROID_POOL = [
+    [round(float(v), 6) for v in _rng3.randn(EMBED_DIM)] for _ in range(IVF_CELLS)
+]
 
 
 def h7(expr: str, dialect: str) -> str:
@@ -48,3 +81,15 @@ def h7(expr: str, dialect: str) -> str:
 def minhash_expr(k: int, h_expr: str) -> str:
     """k-th affine re-hash of a precomputed h7 value (dialect-neutral)."""
     return f"(({MINHASH_A[k]} * {h_expr} + {MINHASH_B[k]}) % {MERSENNE_P})"
+
+
+def lsh_tables(n_tables: int, planes_per_table: int) -> list[list[list[float]]]:
+    """L disjoint slices of the hyperplane pool, one per LSH table."""
+    need = n_tables * planes_per_table
+    assert need <= HYPERPLANE_POOL_SIZE, (
+        f"{need} planes requested, pool has {HYPERPLANE_POOL_SIZE}"
+    )
+    return [
+        HYPERPLANE_POOL[t * planes_per_table : (t + 1) * planes_per_table]
+        for t in range(n_tables)
+    ]

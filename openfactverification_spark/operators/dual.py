@@ -168,20 +168,28 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE cast(n_common as double) / (sa.sz + sb.sz - n_common) >= {threshold}"""
 
 
-def minhash_sig_cte(d: D, n: int = 3) -> str:
-    """CTE: per-doc MinHash signature columns mh0..mh{K-1}, plus a slim `sizes`
-    CTE (doc_id, sz) for jaccard denominators.
+def minhash_sig_cte(d: D, n: int = 3, k: int | None = None, sh_sql: str | None = None) -> str:
+    """CTE: per-doc MinHash signature columns mh0..mh{k-1}, plus a slim `sizes`
+    CTE (doc_id, sz) for jaccard denominators. `k` defaults to the production
+    sketch width (functions/hashing.MINHASH_K = 128).
 
     The md5-derived base hash is materialized once per shingle in `hx` — inlining
     it into each of the K min() aggregates would md5 every shingle K times.
     `sizes` is deliberately a separate count-only CTE: Spark inlines CTEs, so a
     consumer joining `sig` twice for denominators would re-run the full K-way
     minhash aggregation per reference; re-running a bare count over the shingle
-    explode is cheap by comparison."""
+    explode is cheap by comparison.
+
+    ``sh_sql`` overrides the shingle-explode CTE body with a caller-supplied
+    relation (e.g. a cached temp view). Spark inlines CTEs, so a consumer that
+    references `sh` R times re-runs the n-gram construction R times — at scale
+    you materialize the shingle (or signature) table once and derive everything
+    from it; testdata_queries.q_dedup_minhash_lsh_runner does exactly that."""
+    k = H.MINHASH_K if k is None else k
     mins = ",\n         ".join(
-        f"min({H.minhash_expr(k, 'h')}) AS mh{k}" for k in range(H.MINHASH_K)
+        f"min({H.minhash_expr(i, 'h')}) AS mh{i}" for i in range(k)
     )
-    return f"""sh AS ({doc_shingles_sql(d, n)}),
+    return f"""sh AS ({sh_sql or doc_shingles_sql(d, n)}),
 hx AS (SELECT doc_id, {d.h7('shingle')} AS h FROM sh),
 sig AS (
   SELECT doc_id, {mins}
@@ -190,21 +198,36 @@ sig AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
-def q_minhash_signatures(d: D) -> str:
-    cols = ", ".join(f"mh{k}" for k in range(H.MINHASH_K))
-    return f"WITH {minhash_sig_cte(d)}\nSELECT {d.big('doc_id')} AS doc_id, {cols} FROM sig"
+def q_minhash_signatures(d: D, k: int | None = None) -> str:
+    k = H.MINHASH_K if k is None else k
+    cols = ", ".join(f"mh{i}" for i in range(k))
+    return f"WITH {minhash_sig_cte(d, k=k)}\nSELECT {d.big('doc_id')} AS doc_id, {cols} FROM sig"
 
 
-def q_dedup_minhash_lsh(d: D, threshold: float = 0.15) -> str:
+def q_dedup_minhash_lsh(
+    d: D,
+    threshold: float = 0.15,
+    k: int | None = None,
+    bands: int | None = None,
+    sh_sql: str | None = None,
+) -> str:
     """MinHash + LSH banding: band buckets -> candidate pairs -> exact-jaccard
     verify. The banded join keys the shuffle on (band_idx, band_hash), so at scale
     candidates ~ collisions, never all-pairs.
+
+    Defaults are the production sketch (K=128 as 16 bands x 8 rows): collision
+    probability at jaccard s is 1-(1-s^8)^16 — ~1 at s>=0.85, ~0.24 at s=0.6,
+    negligible below 0.4 — so candidate volume stays ~linear in corpus size
+    (band false positives don't blow up the verify join the way the 4x2 toy
+    sketch's 1-(1-s^2)^4 curve would at 10^12 docs).
 
     Spark inlines WITH-CTEs, so `bands` is produced by ONE explode over `sig`
     (a UNION ALL of per-band selects would recompute the signature aggregation —
     and its shingle explosion — once per band). DuckDB keeps the UNION ALL form;
     it materializes multiply-referenced CTEs."""
-    rows_per_band = H.MINHASH_K // H.MINHASH_BANDS
+    k = H.MINHASH_K if k is None else k
+    bands = H.MINHASH_BANDS if bands is None else bands
+    rows_per_band = k // bands
 
     def band_key(b: int) -> str:
         return " || '_' || ".join(
@@ -215,7 +238,7 @@ def q_dedup_minhash_lsh(d: D, threshold: float = 0.15) -> str:
     if d.spark:
         structs = ", ".join(
             f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
-            for b in range(H.MINHASH_BANDS)
+            for b in range(bands)
         )
         bands_sql = (
             "SELECT doc_id, bb.band_idx AS band_idx, bb.band_key AS band_key\n"
@@ -224,10 +247,10 @@ def q_dedup_minhash_lsh(d: D, threshold: float = 0.15) -> str:
     else:
         bands_sql = "\n  UNION ALL\n  ".join(
             f"SELECT doc_id, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
-            for b in range(H.MINHASH_BANDS)
+            for b in range(bands)
         )
     return f"""
-WITH {minhash_sig_cte(d)},
+WITH {minhash_sig_cte(d, k=k, sh_sql=sh_sql)},
 bands AS (
   {bands_sql}
 ),
@@ -540,24 +563,92 @@ FROM nv a JOIN nv b ON a.vec_id < b.vec_id
 WHERE {cos} >= {threshold}"""
 
 
-def lsh_bucket_expr(d: D, emb: str = "embedding") -> str:
-    """Random-hyperplane LSH bucket id: sign bit per plane, {P} planes -> int."""
+def q_embed_dup_pairs_lsh(
+    d: D,
+    threshold: float = 0.40,
+    planes_per_table: int = 3,
+    n_tables: int = 8,
+) -> str:
+    """Embedding near-dup pairs, scale path: multi-table hyperplane-LSH
+    candidate generation + exact-cosine verify (mirrors the
+    dedup_simhash / dedup_simhash_banded pairing; q_embed_dup_pairs is the
+    exact all-pairs baseline this is measured against).
+
+    Candidates = pairs sharing a bucket in ANY of L tables of p planes each
+    (disjoint slices of the seeded pool); the per-table equi-join keys the
+    shuffle on (table_idx, bucket), never all-pairs. Every candidate is
+    verified with exact cosine, so precision is 1.0 by construction; recall at
+    cosine c is 1-(1-q^p)^L with q = 1 - acos(c)/pi — probabilistic, which is
+    the honest production algorithm: unlike simhash's pigeonhole banding there
+    is NO deterministic candidate guarantee for angular distance at moderate
+    thresholds (at cosine 0.4, q ≈ 0.63, so a guarantee would need bands so
+    wide the join degenerates to all-pairs). Defaults (p=3, L=8) give ~0.90
+    expected recall at c=0.40 on random vectors — the hardest case; real
+    near-dup corpora sit at c >= 0.9 (q ≈ 0.86) where p=12-16, L=8-16 yields
+    recall >= 0.95 with 4096+ buckets/table. Measured recall vs the baseline is
+    asserted in tests/test_dedup_similarity.py and reported in BENCH.md."""
+    tables = H.lsh_tables(n_tables, planes_per_table)
+    cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('tbl', {t}, 'bucket', {lsh_bucket_expr(d, planes=pl)})"
+            for t, pl in enumerate(tables)
+        )
+        buckets_sql = (
+            "SELECT vec_id, bb.tbl AS tbl, bb.bucket AS bucket\n"
+            f"  FROM nv LATERAL VIEW explode(array({structs})) t AS bb"
+        )
+    else:
+        buckets_sql = "\n  UNION ALL\n  ".join(
+            f"SELECT vec_id, {t} AS tbl, {lsh_bucket_expr(d, planes=pl)} AS bucket FROM nv"
+            for t, pl in enumerate(tables)
+        )
+    return f"""
+WITH {cosine_cte(d)},
+buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT qa.vec_id AS id_a, qb.vec_id AS id_b
+  FROM buckets qa JOIN buckets qb
+    ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+)
+SELECT {d.big('a.vec_id')} AS id_a, {d.big('b.vec_id')} AS id_b,
+       round({cos}, 6) AS cosine
+FROM cand
+JOIN nv a ON a.vec_id = cand.id_a
+JOIN nv b ON b.vec_id = cand.id_b
+WHERE {cos} >= {threshold}"""
+
+
+def lsh_bucket_expr(d: D, emb: str = "embedding", planes: list | None = None) -> str:
+    """Random-hyperplane LSH bucket id: sign bit per plane -> int.
+
+    `planes` defaults to the single-table prefix of the seeded pool
+    (2^LSH_PLANES buckets). Bucket count must scale with N: size n_planes ~
+    log2(N / target_bucket_rows), else fixed buckets grow linearly with the
+    corpus and the within-bucket join is quadratic."""
+    planes = H.HYPERPLANES if planes is None else planes
     bits = []
-    for p, plane in enumerate(H.HYPERPLANES):
+    for p, plane in enumerate(planes):
         dot = _dot(d, emb, d.arr(plane))
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
-def q_embed_lsh_ann(d: D, k: int = 3) -> str:
+def q_embed_lsh_ann(d: D, k: int = 3, n_planes: int | None = None) -> str:
     """ANN via hyperplane-LSH buckets: candidates share a bucket, then exact
     cosine + top-k within bucket. The bucket join is the scale path: shuffle keys
-    on bucket id, never all-pairs."""
+    on bucket id, never all-pairs. `n_planes` sizes the table (2^n_planes
+    buckets) — a parameter because it must track corpus size (see
+    lsh_bucket_expr); recall at a given cosine is the multi-table story
+    (q_embed_dup_pairs_lsh)."""
+    planes = H.HYPERPLANE_POOL[: (H.LSH_PLANES if n_planes is None else n_planes)]
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
     return f"""
 WITH {cosine_cte(d)},
 bucketed AS (
-  SELECT vec_id, embedding, nrm, {lsh_bucket_expr(d)} AS bucket
+  SELECT vec_id, embedding, nrm, {lsh_bucket_expr(d, planes=planes)} AS bucket
   FROM nv
 ),
 scored AS (
@@ -678,45 +769,63 @@ FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
 
 
-def q_embed_ivf_ann(d: D, k: int = 3, n_queries: int = 30) -> str:
-    """IVF-flavored ANN: assign every vector to its nearest fixed centroid
-    (argmax dot over the seeded centroid set — reusing the hyperplane vectors as
-    centroids), then exact cosine top-k within the query's cell (nprobe=1).
+def q_embed_ivf_ann(
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    n_cells: int | None = None,
+    nprobe: int | None = None,
+) -> str:
+    """IVF ANN: every vector is assigned to its nearest centroid (primary
+    cell); each query searches its `nprobe` nearest cells with exact cosine
+    top-k inside them. The cell assignment keys the shuffle, so at scale the
+    search joins only within probed cells — the IVF counterpart of the
+    hyperplane-LSH bucket path (q_embed_lsh_ann).
 
-    The cell assignment keys the shuffle, so at scale the search joins only
-    within cells — the IVF counterpart of the hyperplane-LSH bucket path
-    (q_embed_lsh_ann). Production extension: nprobe>1 = union over the
-    query's nearest P cells."""
-    n_c = len(H.HYPERPLANES)
-    dots = ",\n         ".join(
-        f"{_dot(d, 'embedding', d.arr(c))} AS d{i}" for i, c in enumerate(H.HYPERPLANES)
-    )
-    # argmax with ties to the lowest index: centroid i wins iff it strictly
-    # beats all earlier centroids and is >= all later ones
-    cases = []
-    for i in range(n_c):
-        conds = [f"d{i} > d{j}" for j in range(i)] + [
-            f"d{i} >= d{j}" for j in range(i + 1, n_c)
-        ]
-        cases.append(f"WHEN {' AND '.join(conds)} THEN {i}" if conds else f"ELSE {i}")
-    bucket = "CASE " + " ".join(cases[:-1]) + f" ELSE {n_c - 1} END"
+    `n_cells` and `nprobe` are parameters because they ARE the scale knobs:
+    production sizes cells ~ sqrt(N) (bounded cell population as N grows) and
+    nprobe > 1 recovers the recall lost at cell boundaries. Centroids here are
+    a seeded deterministic pool (production: k-means-refined); assignment is
+    the standard N x C dot-product cross join against the tiny broadcast
+    centroid table."""
+    n_cells = H.IVF_CELLS if n_cells is None else n_cells
+    nprobe = H.IVF_NPROBE if nprobe is None else nprobe
+    cents = H.IVF_CENTROID_POOL[:n_cells]
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('cell_id', {i}, 'cvec', {d.arr(c)})" for i, c in enumerate(cents)
+        )
+        cents_sql = f"SELECT cc.cell_id AS cell_id, cc.cvec AS cvec FROM (SELECT explode(array({structs})) AS cc)"
+    else:
+        vals = ",\n    ".join(f"({i}, {d.arr(c)})" for i, c in enumerate(cents))
+        cents_sql = f"SELECT * FROM (VALUES\n    {vals}\n  ) t(cell_id, cvec)"
+    cdot = _dot(d, "nv.embedding", "cents.cvec")
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
     return f"""
 WITH {cosine_cte(d)},
-dots AS (
-  SELECT vec_id, embedding, nrm, {dots}
-  FROM nv
+cents AS (
+  {cents_sql}
 ),
-cells AS (
-  SELECT vec_id, embedding, nrm, {bucket} AS cell
-  FROM dots
+assign AS (
+  SELECT vec_id, embedding, nrm, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS crank
+  FROM (
+    SELECT nv.vec_id, nv.embedding, nv.nrm, cents.cell_id, {cdot} AS cdot
+    FROM nv CROSS JOIN cents
+  ) t
+),
+data AS (
+  SELECT vec_id, embedding, nrm, cell_id FROM assign WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id, cell_id FROM assign WHERE crank <= {nprobe} AND vec_id < {n_queries}
 ),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell_id AS cell,
          round({cos}, 6) AS cosine
-  FROM cells q JOIN cells c
-    ON q.cell = c.cell AND c.vec_id <> q.vec_id
-  WHERE q.vec_id < {n_queries}
+  FROM probes p
+  JOIN nv q ON q.vec_id = p.vec_id
+  JOIN data c ON c.cell_id = p.cell_id AND c.vec_id <> p.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cell, cosine,

@@ -34,6 +34,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "chunk_documents": dual.q_chunk_documents,
     "embed_cosine_topk": dual.q_embed_cosine_topk,
     "embed_dup_pairs": dual.q_embed_dup_pairs,
+    "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
     "embed_lsh_ann": dual.q_embed_lsh_ann,
     "embed_ivf_ann": dual.q_embed_ivf_ann,
     "tpch_q1_pricing": dual.q_tpch_q1,
@@ -67,6 +68,24 @@ def _make_runner(builder: Callable[[D], str]) -> Callable[[SparkSession, str], D
     return run
 
 
+def q_dedup_minhash_lsh_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of dedup_minhash_lsh with the shingle table materialized
+    ONCE (cached temp view): the query references `sh` five times (signature
+    agg, two verify sides, two size lookups) and Spark inlines CTEs, so the
+    inline form re-runs the n-gram construction five times — measured ~3x
+    slower at sf0.1 with the K=128 sketch. At cluster scale the same decision
+    is 'write the shingle/signature table once, derive bands+verify from it'.
+    The DuckDB oracle keeps the single self-contained template (DuckDB
+    materializes multiply-referenced CTEs on its own)."""
+    _register_views(spark, sf_dir)
+    sh = spark.sql(dual.doc_shingles_sql(_SPARK)).persist()
+    sh.count()  # eager: otherwise all five consumers race to populate the cache
+    sh.createOrReplaceTempView("sh_mat")
+    return spark.sql(
+        dual.q_dedup_minhash_lsh(_SPARK, sh_sql="SELECT doc_id, shingle FROM sh_mat")
+    )
+
+
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: greedy non-overlapping passage selection per document via
     applyInPandas (sequential per group — the grouped-map shape). The DuckDB
@@ -85,6 +104,7 @@ TESTDATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
 TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
+TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()

@@ -56,6 +56,61 @@ def test_lsh_ann_neighbors_subset_of_bruteforce_space(spark):
     assert mismatches == 0
 
 
+def test_embed_dup_pairs_lsh_precision_and_recall(spark):
+    """Scale twin of embed_dup_pairs: exact-cosine verify makes precision 1.0
+    by construction (every reported pair is in the all-pairs baseline); recall
+    is probabilistic-by-design (1-(1-q^p)^L) and deterministic given the seeded
+    plane pool — assert the measured floor. Random vectors at cosine~0.4 are
+    the hardest case; real near-dup corpora (cosine>=0.9) sit far up the recall
+    curve (see q_embed_dup_pairs_lsh docstring)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in spark.sql(dual.q_embed_dup_pairs(_S)).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in spark.sql(dual.q_embed_dup_pairs_lsh(_S)).collect()
+    }
+    assert exact, "fixture should contain dup pairs"
+    assert set(lsh) <= set(exact), "precision must be exact (verify step)"
+    for pair, cos in lsh.items():
+        assert cos == exact[pair], "verified cosine must equal baseline cosine"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} below floor"
+
+
+def test_ivf_ann_scores_match_bruteforce(spark):
+    """IVF hits must score exactly what brute force scores for that pair, and
+    nprobe cells per query bound the candidate reach (cell pruning changes the
+    candidate set, never the metric)."""
+    ivf = spark.sql(dual.q_embed_ivf_ann(_S, k=3))
+    brute = spark.sql(dual.q_embed_cosine_topk(_S, k=5, n_queries=10**9))
+    joined = ivf.join(
+        brute.withColumnRenamed("cosine", "bf_cosine"), ["query_id", "neighbor_id"]
+    )
+    mismatches = joined.filter("abs(cosine - bf_cosine) > 1e-9").count()
+    assert mismatches == 0
+
+
+def test_ivf_nprobe_widens_candidates(spark):
+    """nprobe is the recall knob: probing more cells can only add candidates,
+    so top-k cosine at nprobe=2 dominates nprobe=1 per query."""
+    from pyspark.sql import functions as F
+
+    one = (
+        spark.sql(dual.q_embed_ivf_ann(_S, k=1, nprobe=1))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("c1"))
+    )
+    two = (
+        spark.sql(dual.q_embed_ivf_ann(_S, k=1, nprobe=2))
+        .groupBy("query_id")
+        .agg(F.max("cosine").alias("c2"))
+    )
+    worse = one.join(two, "query_id").filter("c2 < c1 - 1e-9").count()
+    assert worse == 0
+
+
 def test_chunk_documents_covers_all_words(spark):
     """P9 chunking: step(8) < size(10) -> chunks tile every word index."""
     rows = spark.sql(dual.q_chunk_documents(_S)).collect()
