@@ -84,6 +84,41 @@ def q_pipeline_evidence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_ops.evidence_topk(_pipe(spark).routed, enrich_ops.evidence_dim(spark))
 
 
+def q_pipeline_evidence_topk_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-ranked evidence top-k (reference extension point:
+    /root/reference/factcheck/core/Retriever/base.py:19-23,167): the
+    (claim, evidence) pairs are scored by the predict_batch_udf-pattern pandas
+    UDF (functions/scoring.py — model loaded once per worker, Arrow-batched
+    inference), then ranked JVM-side per claim. The oracle computes the same
+    deterministic stub model in pure SQL."""
+    from pyspark.sql.window import Window
+
+    from .functions.scoring import ce_score_udf
+    from .operators import enrich as enrich_ops
+
+    routed = _pipe(spark).routed
+    claims = routed.filter(
+        (F.col("record_kind") == "claim") & F.col("checkworthy")
+    ).select("conv_id", "turn_idx", "claim_idx", "claim", "claim_norm")
+    det = claims.join(F.broadcast(enrich_ops.evidence_dim(spark)), "claim_norm")
+    scored = det.withColumn("ce_score", ce_score_udf()("claim", "evidence_text"))
+    w = Window.partitionBy("conv_id", "turn_idx", "claim_idx").orderBy(
+        F.desc("ce_score"), "url"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "claim_idx",
+            "url",
+            "ce_score",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 def q_pipeline_evidence_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: evidence regrouped per claim, deterministic order."""
     from .operators import enrich as enrich_ops
@@ -188,6 +223,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_tool_trace": q_pipeline_tool_trace,
     "pipeline_query_fanout": q_pipeline_query_fanout,
     "pipeline_evidence_topk": q_pipeline_evidence_topk,
+    "pipeline_evidence_topk_ce": q_pipeline_evidence_topk_ce,
     "pipeline_evidence_grouped": q_pipeline_evidence_grouped,
     "pipeline_rollup": q_pipeline_rollup,
     "pipeline_token_stats": q_pipeline_token_stats,

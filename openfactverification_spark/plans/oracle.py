@@ -17,6 +17,7 @@ from ..operators.verify import (
     MAX_QUERY_PER_CLAIM as _MAX_QUERY_PER_CLAIM,
     QUERY_TEMPLATES as _QUERY_TEMPLATES,
 )
+from ..functions.scoring import ce_score_sql as _ce_score_sql
 from ..rulepack import DEFAULT_PACK
 from ..sources.transcripts import (
     DEFAULT_REASON,
@@ -227,6 +228,23 @@ rk AS (
   FROM det
 )
 SELECT conv_id, turn_idx, claim_idx, rank, url, stance, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {_EVIDENCE_TOP_K}""",
+        "pipeline_evidence_topk_ce": f"""{ctes},
+cl AS (
+  SELECT conv_id, turn_idx, claim_idx, claim, claim_norm
+  FROM routed WHERE record_kind = 'claim' AND checkworthy
+),
+det AS (
+  SELECT cl.conv_id, cl.turn_idx, cl.claim_idx, e.url,
+         {_ce_score_sql('cl.claim', 'e.evidence_text', 'duckdb')} AS ce_score
+  FROM cl JOIN ev_dim e USING (claim_norm)
+),
+rk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx, claim_idx ORDER BY ce_score DESC, url) AS rnk
+  FROM det
+)
+SELECT conv_id, turn_idx, claim_idx, url, ce_score, CAST(rnk AS INT) AS rnk
 FROM rk WHERE rnk <= {_EVIDENCE_TOP_K}""",
         "pipeline_evidence_grouped": f"""{ctes},
 cl AS (

@@ -40,6 +40,30 @@ def test_evidence_topk_bounded_and_ranked(spark):
     assert per_claim.filter(F.col("max_rnk") != F.col("n")).count() == 0
 
 
+def test_ce_score_udf_matches_sql_twin(spark):
+    """The predict_batch_udf-pattern scorer (functions/scoring.py, reference
+    extension point Retriever/base.py:19-23) must be byte-identical to its SQL
+    twin — that equivalence is what makes the 'model inference' stage
+    oracle-checkable."""
+    from openfactverification_spark.functions.scoring import (
+        ce_score_sql,
+        ce_score_udf,
+    )
+
+    routed = _routed(spark)
+    det = (
+        routed.filter((F.col("record_kind") == "claim") & F.col("checkworthy"))
+        .select("claim", "claim_norm")
+        .join(F.broadcast(enrich_ops.evidence_dim(spark)), "claim_norm")
+        .select("claim", "evidence_text")
+    )
+    both = det.withColumn("udf_score", ce_score_udf()("claim", "evidence_text")).withColumn(
+        "sql_score", F.expr(ce_score_sql("claim", "evidence_text", "spark"))
+    )
+    assert both.count() > 0
+    assert both.filter("udf_score <> sql_score").count() == 0
+
+
 def test_select_passages_matches_python_reference(spark):
     # Build overlapping chunks for a few synthetic docs directly.
     rows = []
