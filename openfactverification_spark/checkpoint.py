@@ -52,11 +52,72 @@ class EpochResult:
 
 
 def _manifest_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_manifest")
+    return out_dir.rstrip("/") + "/_manifest"
 
 
-def committed_epochs(out_dir: str) -> dict[str, dict]:
-    """Read the manifest: epoch -> committed entry."""
+class _ManifestIO:
+    """Manifest I/O through the Hadoop FileSystem API, so ``--out`` works on
+    any Hadoop-supported filesystem (file://, hdfs://, s3a://, ...) — a
+    driver-local ``open()`` would silently write an object-store URI to a
+    literal local directory and resume state would not survive driver
+    replacement. All files are tiny per-epoch JSONs, driver-side only.
+
+    Commit protocol: write a temp file, then rename over the final name —
+    atomic on HDFS and local FS; on S3A rename is copy+delete (non-atomic),
+    which is safe under the single-writer assumption the epoch loop already
+    makes (production multi-writer would commit through the Iceberg catalog
+    instead, sources/catalog.py)."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._path_cls = jvm.org.apache.hadoop.fs.Path
+        self._dir = self._path_cls(_manifest_dir(out_dir))
+        self._fs = self._dir.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def list_entries(self) -> list[dict]:
+        if not self._fs.exists(self._dir):
+            return []
+        entries: list[dict] = []
+        for status in self._fs.listStatus(self._dir):
+            p = status.getPath()
+            if not p.getName().endswith(".json"):
+                continue
+            stream = self._fs.open(p)
+            try:
+                raw = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            finally:
+                stream.close()
+            entries.append(json.loads(bytes(raw).decode("utf-8")))
+        return entries
+
+    def write_entry(self, entry: dict) -> None:
+        self._fs.mkdirs(self._dir)
+        final = self._path_cls(self._dir, f"{entry['epoch']}.json")
+        tmp = self._path_cls(
+            self._dir, f".{entry['epoch']}.json.tmp-{uuid.uuid4().hex[:8]}"
+        )
+        out = self._fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(entry).encode("utf-8")))
+        finally:
+            out.close()
+        if self._fs.exists(final):
+            self._fs.delete(final, False)
+        self._fs.rename(tmp, final)
+
+
+def _manifest_io(out_dir: str, spark: SparkSession | None) -> _ManifestIO | None:
+    spark = spark or SparkSession.getActiveSession()
+    return _ManifestIO(spark, out_dir) if spark is not None else None
+
+
+def committed_epochs(out_dir: str, spark: SparkSession | None = None) -> dict[str, dict]:
+    """Read the manifest: epoch -> committed entry. Uses the Hadoop FS of the
+    (active) session; falls back to local os I/O only when no session exists."""
+    io = _manifest_io(out_dir, spark)
+    if io is not None:
+        return {e["epoch"]: e for e in io.list_entries()}
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir):
         return {}
@@ -70,8 +131,13 @@ def committed_epochs(out_dir: str) -> dict[str, dict]:
     return out
 
 
-def _commit_epoch(out_dir: str, entry: dict) -> None:
-    """Atomic single-file commit: write tmp, fsync-rename."""
+def _commit_epoch(out_dir: str, entry: dict, spark: SparkSession | None = None) -> None:
+    """Atomic single-file commit: write tmp, rename (Hadoop FS when a session
+    is available, local fsync-rename otherwise)."""
+    io = _manifest_io(out_dir, spark)
+    if io is not None:
+        io.write_entry(entry)
+        return
     mdir = _manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, f"{entry['epoch']}.json")
@@ -88,7 +154,7 @@ def pending_epochs(spark: SparkSession, transcripts: DataFrame, out_dir: str) ->
     input_epochs = transcripts.select(
         F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("epoch")
     ).distinct()
-    done = list(committed_epochs(out_dir))
+    done = list(committed_epochs(out_dir, spark))
     if done:
         done_df = spark.createDataFrame([(e,) for e in done], "epoch string")
         input_epochs = input_epochs.join(done_df, "epoch", "left_anti")
@@ -158,6 +224,7 @@ def run_resumable(
                 "rulepack": pack.identity,
                 "metrics": {"parsed_records": parsed, "routed_per_sink": per_sink},
             },
+            spark=spark,
         )
         results.append(EpochResult(epoch, parsed, per_sink))
     return results
