@@ -31,14 +31,19 @@ from openfactverification_spark.sources.transcripts import transcripts_df  # noq
 # 2_000_000 synthetic turns ~ the pipeline headline load at bench scale
 PIPE_TURNS = int(os.environ.get("BENCH_PIPE_TURNS", "2000000"))
 
+# Every headline entry is the SCALE PATH for its family: banded/bucketed
+# candidate generation, never the all-pairs baselines (dedup_simhash and
+# embed_cosine_topk/embed_dup_pairs stay registered as the oracle anchors the
+# scale paths are verified against, but they are not what production runs).
 TESTDATA_BENCH = [
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_minhash_lsh",  # K=128 banding, shingle table materialized once
+    "dedup_simhash_banded",  # pigeonhole bands, hash-identical to all-pairs
     "text_stats",
-    "embed_cosine_topk",
-    "embed_lsh_ann",
-    "embed_ivf_ann",
+    "embed_lsh_ann",  # bucketed ANN (parameterized planes)
+    "embed_ivf_ann",  # cell-pruned ANN (n_cells, nprobe)
+    "embed_dup_pairs_lsh",  # multi-table LSH + exact-cosine verify
+    "chunk_passages",  # T3 applyInPandas greedy selection
     "tpch_q1_pricing",
     "regional_revenue",
     "window_topk_per_order",
@@ -103,7 +108,10 @@ def main() -> None:
     for name in TESTDATA_BENCH:
         fn = TESTDATA_QUERIES[name]
         best = float("inf")
-        for _ in range(2):  # min-of-2: shields the number from transient noise
+        # min-of-3: this VM's throughput swings 3-10x between phases, and the
+        # first run additionally pays one-time codegen compile on the wide
+        # generated plans; the minimum is the steady-state number.
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # Force full evaluation without shipping a big result to the driver.

@@ -58,7 +58,12 @@ HYPERPLANE_POOL = [
 LSH_PLANES = 8
 HYPERPLANES = HYPERPLANE_POOL[:LSH_PLANES]
 
-SIMHASH_BITS = 24
+# 48-bit simhash (12 md5 hex digits of the word hash). 24 bits was too narrow
+# for banded candidate generation: pigeonhole bands of 24/(k+1) ~ 3 bits have
+# only 8 distinct values, so every band bucket holds ~N/8 docs and the banded
+# join degenerates toward all-pairs. 48 bits gives ~7-bit bands (128 values) —
+# selective banding — and a sharper similarity cut for the verify.
+SIMHASH_BITS = 48
 
 # IVF defaults: centroids from a second seeded pool (production: ~sqrt(N)
 # k-means centroids; these stand in deterministically), nprobe>1 unions the
@@ -71,11 +76,18 @@ IVF_CENTROID_POOL = [
 ]
 
 
-def h7(expr: str, dialect: str) -> str:
-    """28-bit portable hash of a string expression."""
+def hash_prefix(expr: str, hex_digits: int, dialect: str) -> str:
+    """(4*hex_digits)-bit portable hash of a string expression (md5 prefix).
+    hex_digits <= 15 keeps the value inside signed-64 on both engines."""
+    assert 1 <= hex_digits <= 15
     if dialect == "spark":
-        return f"cast(conv(substring(md5({expr}), 1, 7), 16, 10) as bigint)"
-    return f"('0x' || substr(md5({expr}), 1, 7))::BIGINT"
+        return f"cast(conv(substring(md5({expr}), 1, {hex_digits}), 16, 10) as bigint)"
+    return f"('0x' || substr(md5({expr}), 1, {hex_digits}))::BIGINT"
+
+
+def h7(expr: str, dialect: str) -> str:
+    """28-bit portable hash — the affine-rehash base (see MERSENNE_P note)."""
+    return hash_prefix(expr, 7, dialect)
 
 
 def minhash_expr(k: int, h_expr: str) -> str:

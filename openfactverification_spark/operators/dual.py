@@ -286,11 +286,20 @@ FROM sim a JOIN sim b ON a.doc_id < b.doc_id
 WHERE bit_count({d.xor('a.simhash', 'b.simhash')}) <= {max_hamming}"""
 
 
-def simhash_cte(d: D) -> str:
+def simhash_cte(d: D, sim_sql: str | None = None) -> str:
     """CTE chain ending in `sim(doc_id, simhash)` — shared by the all-pairs
-    baseline and the banded scale path."""
+    baseline and the banded scale path. The word hash is SIMHASH_BITS wide
+    (md5 prefix), so every simhash bit carries signal — a hash narrower than
+    the sketch would pin the upper bits to a constant and void those bands.
+
+    ``sim_sql`` overrides the whole chain with a caller-supplied relation
+    (e.g. a cached temp view): consumers reference `sim` twice (pair self-join)
+    and Spark inlines CTEs, so the inline form runs the word explode + bit-sum
+    aggregation twice; at scale you materialize the sketch table once."""
+    if sim_sql is not None:
+        return f"sim AS ({sim_sql})"
     bits = H.SIMHASH_BITS
-    h = d.h7("word")
+    h = H.hash_prefix("word", bits // 4, d.name)
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN ({d.shr('h', b)} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
         for b in range(bits)
@@ -310,14 +319,15 @@ bitsum AS (
 sim AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM bitsum)"""
 
 
-def q_dedup_simhash_banded(d: D, max_hamming: int = 6) -> str:
+def q_dedup_simhash_banded(d: D, max_hamming: int = 6, sim_sql: str | None = None) -> str:
     """SimHash near-dup via banded candidate generation — the scale path.
 
     Pigeonhole: pairs within hamming <= {k} over {bits} bits, split into {k}+1
     bands, must agree exactly on at least one band — so candidates come from a
     per-band equi-join (shuffle keyed on (band_idx, band_val)), never the
     all-pairs cross join of q_dedup_simhash. Exact bit_count verify keeps the
-    output identical to the baseline."""
+    output identical to the baseline. Band selectivity = 2^(bits/(k+1)) values
+    per band — the reason the sketch is 48-bit (see functions/hashing)."""
     bits, n_bands = H.SIMHASH_BITS, max_hamming + 1
     base, rem = divmod(bits, n_bands)
     widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
@@ -341,7 +351,7 @@ def q_dedup_simhash_banded(d: D, max_hamming: int = 6) -> str:
     else:
         bands_sql = "\n  UNION ALL\n  ".join(band_rows)
     return f"""
-WITH {simhash_cte(d)},
+WITH {simhash_cte(d, sim_sql=sim_sql)},
 bands AS (
   {bands_sql}
 ),
@@ -505,12 +515,17 @@ WHERE u.i < len(chosen)"""
 # ======================================================================================
 
 def _dot(d: D, a: str, b: str, dim: int = 64) -> str:
-    """Sequential-fold dot product, bit-identical across engines.
+    """Sequential-fold dot product of two embedding COLUMNS, bit-identical
+    across engines.
 
     Spark side pairs elements with zip_with (direct array iteration) instead of
     indexing via element_at over a sequence() — element_at does a bounds check
-    and null handling per element, and higher-order functions run interpreted,
-    so per-element cost dominates at N*Q pair volume."""
+    and null handling per element. Measured note (A/B at sf0.1, 8M-pair verify
+    join): fully unrolling this column-column dot into 128 element_at terms is
+    ~2.5x SLOWER than the fold — the generated method exceeds the JIT's huge-
+    method threshold and runs in the JVM interpreter. Unrolling only wins when
+    one side is a literal (_dot_lit), where each dot is a compact standalone
+    projection column."""
     if d.spark:
         prods = f"zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double))"
     else:
@@ -518,6 +533,24 @@ def _dot(d: D, a: str, b: str, dim: int = 64) -> str:
             d.seq(1, dim), "i", f"cast({a}[i] as double) * cast({b}[i] as double)"
         )
     return d.fold_sum(prods)
+
+
+def _dot_lit(d: D, col: str, vec: list[float]) -> str:
+    """Dot product of an embedding column against a LITERAL vector, unrolled
+    into an explicit left-associated sum of products.
+
+    Rationale: higher-order functions (zip_with/aggregate/list_transform) run
+    interpreted per element in both engines; for hyperplane/centroid dots the
+    vector side is a compile-time constant, so unrolling yields branch-free
+    whole-stage-codegen arithmetic — measured ~10x on the LSH/IVF assignment
+    stages. Left-association matches the sequential fold exactly, so the
+    double result is bit-identical to _dot in both engines."""
+    terms = [
+        f"cast({d.elem(col, i)} as double) * {v}"
+        for i, v in enumerate(vec)
+        if v != 0.0
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def cosine_cte(d: D) -> str:
@@ -589,22 +622,34 @@ def q_embed_dup_pairs_lsh(
     asserted in tests/test_dedup_similarity.py and reported in BENCH.md."""
     tables = H.lsh_tables(n_tables, planes_per_table)
     cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    # Bucket ids are staged as PLAIN PROJECTION COLUMNS (bvals) before the
+    # unpivot: Spark's whole-stage codegen can split a wide projection into
+    # many methods, but a Generate (explode) holding the unrolled hyperplane
+    # dots inline blows the 64KB method limit and silently falls back to
+    # interpreted eval (~6x slower, measured). The explode then only
+    # references the computed columns.
+    bval_cols = ",\n         ".join(
+        f"{lsh_bucket_expr(d, planes=pl)} AS b{t}" for t, pl in enumerate(tables)
+    )
     if d.spark:
         structs = ", ".join(
-            f"named_struct('tbl', {t}, 'bucket', {lsh_bucket_expr(d, planes=pl)})"
-            for t, pl in enumerate(tables)
+            f"named_struct('tbl', {t}, 'bucket', b{t})" for t in range(len(tables))
         )
         buckets_sql = (
             "SELECT vec_id, bb.tbl AS tbl, bb.bucket AS bucket\n"
-            f"  FROM nv LATERAL VIEW explode(array({structs})) t AS bb"
+            f"  FROM bvals LATERAL VIEW explode(array({structs})) t AS bb"
         )
     else:
         buckets_sql = "\n  UNION ALL\n  ".join(
-            f"SELECT vec_id, {t} AS tbl, {lsh_bucket_expr(d, planes=pl)} AS bucket FROM nv"
-            for t, pl in enumerate(tables)
+            f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bvals"
+            for t in range(len(tables))
         )
     return f"""
 WITH {cosine_cte(d)},
+bvals AS (
+  SELECT vec_id, {bval_cols}
+  FROM nv
+),
 buckets AS (
   {buckets_sql}
 ),
@@ -631,7 +676,7 @@ def lsh_bucket_expr(d: D, emb: str = "embedding", planes: list | None = None) ->
     planes = H.HYPERPLANES if planes is None else planes
     bits = []
     for p, plane in enumerate(planes):
-        dot = _dot(d, emb, d.arr(plane))
+        dot = _dot_lit(d, emb, plane)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
@@ -791,27 +836,41 @@ def q_embed_ivf_ann(
     n_cells = H.IVF_CELLS if n_cells is None else n_cells
     nprobe = H.IVF_NPROBE if nprobe is None else nprobe
     cents = H.IVF_CENTROID_POOL[:n_cells]
+    # Assignment = N x C dot products against LITERAL centroids: unrolled
+    # (_dot_lit) into codegen'd arithmetic, no per-element lambda, no join
+    # (the centroid "table" folds into the projection; on a real catalog this
+    # is the broadcast join against the tiny centroid table). The dots are
+    # staged as plain projection columns (dvals) before the unpivot so Spark's
+    # codegen can split the wide projection — an explode holding them inline
+    # blows the 64KB method limit and falls back to interpreted eval.
+    dval_cols = ",\n         ".join(
+        f"{_dot_lit(d, 'embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
     if d.spark:
         structs = ", ".join(
-            f"named_struct('cell_id', {i}, 'cvec', {d.arr(c)})" for i, c in enumerate(cents)
+            f"named_struct('cell_id', {i}, 'cdot', d{i})" for i in range(n_cells)
         )
-        cents_sql = f"SELECT cc.cell_id AS cell_id, cc.cvec AS cvec FROM (SELECT explode(array({structs})) AS cc)"
+        assign_inner = (
+            "SELECT vec_id, embedding, nrm, cc.cell_id AS cell_id, cc.cdot AS cdot\n"
+            f"    FROM dvals LATERAL VIEW explode(array({structs})) t AS cc"
+        )
     else:
-        vals = ",\n    ".join(f"({i}, {d.arr(c)})" for i, c in enumerate(cents))
-        cents_sql = f"SELECT * FROM (VALUES\n    {vals}\n  ) t(cell_id, cvec)"
-    cdot = _dot(d, "nv.embedding", "cents.cvec")
+        assign_inner = "\n    UNION ALL\n    ".join(
+            f"SELECT vec_id, embedding, nrm, {i} AS cell_id, d{i} AS cdot FROM dvals"
+            for i in range(n_cells)
+        )
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
     return f"""
 WITH {cosine_cte(d)},
-cents AS (
-  {cents_sql}
+dvals AS (
+  SELECT vec_id, embedding, nrm, {dval_cols}
+  FROM nv
 ),
 assign AS (
   SELECT vec_id, embedding, nrm, cell_id,
          row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS crank
   FROM (
-    SELECT nv.vec_id, nv.embedding, nv.nrm, cents.cell_id, {cdot} AS cdot
-    FROM nv CROSS JOIN cents
+    {assign_inner}
   ) t
 ),
 data AS (

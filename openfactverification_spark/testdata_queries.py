@@ -86,6 +86,26 @@ def q_dedup_minhash_lsh_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of dedup_simhash_banded with the simhash sketch
+    materialized ONCE (cached temp view): the banded self-join references `sim`
+    twice and Spark inlines CTEs, so the inline form runs the word explode +
+    48-way bit-sum aggregation twice. Same materialize-the-sketch decision as
+    q_dedup_minhash_lsh_runner; the DuckDB oracle keeps the self-contained
+    template."""
+    _register_views(spark, sf_dir)
+    sim = spark.sql(
+        f"WITH {dual.simhash_cte(_SPARK)} SELECT doc_id, simhash FROM sim"
+    ).persist()
+    sim.count()  # eager, so both self-join sides read the cache
+    sim.createOrReplaceTempView("sim_mat")
+    return spark.sql(
+        dual.q_dedup_simhash_banded(
+            _SPARK, sim_sql="SELECT doc_id, simhash FROM sim_mat"
+        )
+    )
+
+
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: greedy non-overlapping passage selection per document via
     applyInPandas (sequential per group — the grouped-map shape). The DuckDB
@@ -105,6 +125,7 @@ TESTDATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
 TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
+TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
