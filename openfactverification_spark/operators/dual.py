@@ -319,6 +319,33 @@ bitsum AS (
 sim AS (SELECT doc_id, cast({sim} as bigint) AS simhash FROM bitsum)"""
 
 
+def simhash_plain_sql(d: D) -> str:
+    """The `sim(doc_id, simhash)` relation as ONE nested-subquery SELECT (no
+    WITH clause). Used by the Spark materialization runner: a cached DataFrame
+    built from a WITH-CTE plan is NOT substituted by the CacheManager when the
+    same view is referenced inside a larger query (the WithCTE node defeats
+    the canonical subtree match — observed on 4.1), while the plain nested
+    form cache-hits exactly like the minhash shingle view."""
+    bits = H.SIMHASH_BITS
+    h = H.hash_prefix("word", bits // 4, d.name)
+    bit_sums = ",\n           ".join(
+        f"sum(CASE WHEN ({d.shr('h', b)} & 1) = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    explode_words = (
+        f"SELECT doc_id, explode({d.adistinct(words_cte(d))}) AS word FROM documents"
+        if d.spark
+        else f"SELECT doc_id, unnest({d.adistinct(words_cte(d))}) AS word FROM documents"
+    )
+    return f"""SELECT doc_id, cast({sim} as bigint) AS simhash
+FROM (
+  SELECT doc_id, {bit_sums}
+  FROM (SELECT doc_id, {h} AS h FROM ({explode_words}) w) hx
+  GROUP BY doc_id
+) bitsum"""
+
+
 def q_dedup_simhash_banded(d: D, max_hamming: int = 6, sim_sql: str | None = None) -> str:
     """SimHash near-dup via banded candidate generation — the scale path.
 

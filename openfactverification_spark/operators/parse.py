@@ -63,16 +63,17 @@ def split_sentences(text: Column, pack: RulePack = DEFAULT_PACK) -> Column:
     """array<string> of RAW sentence segments (concatenate back to `text`).
 
     Protect rules (length-preserving, \\x02 sentinel) run before boundary rules
-    (\\x01 sentinel inserted after the terminator, no char dropped); the split
-    keeps every original char, then protected spaces are restored per segment.
+    (\\x01 sentinel inserted after the terminator, no char dropped). The \\x02
+    sentinel only needs to exist DURING the boundary pass, so it is restored
+    with one whole-text literal replace before the split — cheaper than a
+    per-segment lambda after it.
     """
     s = text
     for r in pack.protect_rules + pack.boundary_rules:
         s = F.regexp_replace(s, r.pattern, pack.spark_replacement(r.replacement))
-    segs = F.split(s, SEP)
     if pack.protect_rules:
-        segs = F.transform(segs, lambda x: F.replace(x, F.lit(SP), F.lit(" ")))
-    return segs
+        s = F.replace(s, F.lit(SP), F.lit(" "))
+    return F.split(s, SEP)
 
 
 def parse_turns(transcripts: DataFrame, pack: RulePack = DEFAULT_PACK) -> DataFrame:

@@ -86,16 +86,18 @@ class RulePack:
         return " || ".join(parts) if parts else "''"
 
     def duckdb_split_sql(self, text_expr: str) -> str:
-        """DuckDB array<varchar> of raw segments (protect -> boundary -> split
-        -> restore), all original chars preserved."""
+        """DuckDB array<varchar> of raw segments (protect -> boundary ->
+        restore -> split), all original chars preserved. The \\x02 sentinel
+        only needs to exist DURING the boundary pass, so it is restored with
+        one whole-text literal replace before the split — cheaper than a
+        per-segment lambda after it."""
         s = text_expr
         for r in self.protect_rules + self.boundary_rules:
             pat = "'" + r.pattern.replace("'", "''") + "'"
             s = f"regexp_replace({s}, {pat}, {self.duckdb_replacement_sql(r.replacement)}, 'g')"
-        segs = f"string_split({s}, chr(1))"
         if self.protect_rules:
-            segs = f"list_transform({segs}, x -> replace(x, chr(2), ' '))"
-        return segs
+            s = f"replace({s}, chr(2), ' ')"
+        return f"string_split({s}, chr(1))"
 
 
 # --------------------------------------------------------------------------------------

@@ -94,9 +94,9 @@ def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     q_dedup_minhash_lsh_runner; the DuckDB oracle keeps the self-contained
     template."""
     _register_views(spark, sf_dir)
-    sim = spark.sql(
-        f"WITH {dual.simhash_cte(_SPARK)} SELECT doc_id, simhash FROM sim"
-    ).persist()
+    # plain nested form, NOT the WITH-CTE form: a WithCTE node in the cached
+    # plan defeats the CacheManager's subtree match inside the larger query
+    sim = spark.sql(dual.simhash_plain_sql(_SPARK)).persist()
     sim.count()  # eager, so both self-join sides read the cache
     sim.createOrReplaceTempView("sim_mat")
     return spark.sql(

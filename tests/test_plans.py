@@ -68,3 +68,35 @@ def test_global_topk_uses_take_ordered(spark):
     df = TESTDATA_QUERIES["topk_revenue_orders"](spark, SF_DIR)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan  # not a single-partition global sort
+
+
+def test_scale_path_queries_never_plan_cartesian(spark):
+    """Every banded/bucketed scale-path query must generate candidates through
+    equi-joins (shuffle keyed on band/bucket/cell) — a CartesianProduct or
+    BroadcastNestedLoopJoin in these plans means the candidate generation
+    degenerated to all-pairs."""
+    from openfactverification_spark.testdata_queries import TESTDATA_QUERIES
+
+    for name in [
+        "dedup_minhash_lsh",
+        "dedup_simhash_banded",
+        "embed_dup_pairs_lsh",
+        "embed_lsh_ann",
+        "embed_ivf_ann",
+        "chunk_passages",
+    ]:
+        plan = _plan(TESTDATA_QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_sketch_runners_materialize_once(spark):
+    """The minhash/simhash Spark runners must actually read the sketch from the
+    cache (InMemoryTableScan) — if Spark re-inlined the CTE the n-gram explode
+    would run once per reference (the 3-5x regression these runners exist to
+    prevent)."""
+    from openfactverification_spark.testdata_queries import TESTDATA_QUERIES
+
+    for name, expected_refs in [("dedup_minhash_lsh", 5), ("dedup_simhash_banded", 2)]:
+        plan = _plan(TESTDATA_QUERIES[name](spark, SF_DIR))
+        assert plan.count("InMemoryTableScan") >= expected_refs, name
