@@ -393,6 +393,72 @@ FROM cand
 WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {max_hamming}"""
 
 
+def dedup_components_oracle() -> str:
+    """DuckDB-only oracle for dedup cluster assignment (operators/components.py):
+    min-label transitive closure over the minhash-LSH pair graph as a recursive
+    CTE — every doc's component id is the minimum doc_id reachable through
+    near-dup pairs; the keeper is the component minimum (the dedup_exact
+    keeper-by-min convention). The Spark side is the iterative label-propagation
+    loop; this is the same fixpoint written declaratively."""
+    d = D("duckdb")
+    pairs_sql = q_dedup_minhash_lsh(d)
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pairs_sql}
+  ) p
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.dst AS node, r.comp AS comp
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(comp) AS BIGINT) AS component_id,
+       (min(comp) = node) AS is_keeper
+FROM reach GROUP BY node"""
+
+
+def q_training_ready(d: D, min_quality: float = 0.35, lang: str = "en") -> str:
+    """The composed training-data gate: exact-dedup keepers only, predicted
+    language filter, quality floor — the end-to-end 'which documents enter the
+    training set' query that chains dedup + language-ID + quality scoring in
+    ONE pass (each piece is separately oracle-verified; this verifies their
+    composition). Emits the surviving docs with their quality features."""
+    norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))" if d.spark else (
+        "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    )
+    w = words_cte(d)
+    n_tok = d.alen(w)
+    n_uniq = d.alen(d.adistinct(w))
+    stop = d.regexp_count("text", r"\\b(the|a|of|and|in)\\b" if d.spark else r"\b(the|a|of|and|in)\b")
+    en_stop = d.regexp_count("text", r"\\b(the|a)\\b" if d.spark else r"\b(the|a)\b")
+    quality = (
+        f"round(least(cast({n_tok} as double) / 50, cast(1 as double)) * 0.5"
+        f" + (cast({n_uniq} as double) / {n_tok}) * 0.3"
+        f" + least(cast({stop} as double) / {n_tok}, cast(0.2 as double)), 6)"
+    )
+    pred = f"CASE WHEN cast({en_stop} as double) / {n_tok} >= 0.05 THEN 'en' ELSE 'other' END"
+    return f"""
+WITH keepers AS (
+  SELECT {d.big('min(doc_id)')} AS doc_id FROM documents GROUP BY md5({norm})
+),
+scored AS (
+  SELECT doc_id, cast({n_tok} as int) AS n_tokens,
+         {quality} AS quality_score,
+         {pred} AS predicted_lang
+  FROM documents
+)
+SELECT {d.big('s.doc_id')} AS doc_id, s.n_tokens, s.quality_score
+FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
+WHERE s.quality_score >= {min_quality} AND s.predicted_lang = '{lang}'"""
+
+
 def q_doc_fingerprint(d: D, n: int = 4) -> str:
     """Rolling-hash document fingerprint: min/max shingle hash + distinct-shingle
     count (winnowing-style content signature)."""

@@ -28,6 +28,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "dedup_simhash": dual.q_dedup_simhash,
     "dedup_simhash_banded": dual.q_dedup_simhash_banded,
     "doc_fingerprint": dual.q_doc_fingerprint,
+    "training_ready": dual.q_training_ready,
     "text_stats": dual.q_text_stats,
     "clean_text": dual.q_clean_text,
     "text_lang_id": dual.q_lang_id,
@@ -106,6 +107,18 @@ def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup cluster assignment: connected components over the minhash-LSH
+    pair graph (operators/components.py — iterative min-label propagation;
+    DuckDB oracle = the same fixpoint as a recursive-CTE transitive closure).
+    Reuses the cached-shingle minhash runner for the pair list."""
+    from .operators.components import connected_components
+
+    pairs = q_dedup_minhash_lsh_runner(spark, sf_dir)
+    nodes = spark.table("documents").select("doc_id")
+    return connected_components(nodes, pairs)
+
+
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: greedy non-overlapping passage selection per document via
     applyInPandas (sequential per group — the grouped-map shape). The DuckDB
@@ -126,7 +139,9 @@ TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
 TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
+TESTDATA_QUERIES["dedup_components"] = q_dedup_components
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
 TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
+TESTDATA_ORACLES["dedup_components"] = dual.dedup_components_oracle()

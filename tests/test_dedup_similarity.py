@@ -56,6 +56,25 @@ def test_lsh_ann_neighbors_subset_of_bruteforce_space(spark):
     assert mismatches == 0
 
 
+def test_connected_components_transitive_closure(spark):
+    """Dedup clustering: A~B and B~C must land in one component even when A~C
+    was never emitted as a pair; keepers are the component minima."""
+    from openfactverification_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long")
+    out = {r["doc_id"]: r for r in connected_components(nodes, pairs).collect()}
+    assert {out[i]["component_id"] for i in (1, 2, 3)} == {1}
+    assert {out[i]["component_id"] for i in (10, 11)} == {10}
+    assert {out[i]["component_id"] for i in (20, 21, 22, 23)} == {20}
+    assert out[99]["component_id"] == 99  # singleton
+    keepers = {i for i, r in out.items() if r["is_keeper"]}
+    assert keepers == {1, 10, 20, 99}
+
+
 def test_embed_dup_pairs_lsh_precision_and_recall(spark):
     """Scale twin of embed_dup_pairs: exact-cosine verify makes precision 1.0
     by construction (every reported pair is in the all-pairs baseline); recall
