@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dual
 from .operators.dual import D
-from .operators.multimodal import multimodal_bytes_oracle, q_multimodal_bytes
+from .operators.multimodal import (
+    multimodal_bytes_oracle,
+    multimodal_frames_oracle,
+    q_multimodal_bytes,
+    q_multimodal_frames,
+)
 from .sources.tables import TABLES, table_path
 
 _SPARK = D("spark")
@@ -136,6 +141,7 @@ TESTDATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _make_runner(b) for name, b in _DUAL_QUERIES.items()
 }
 TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
+TESTDATA_QUERIES["multimodal_frames"] = q_multimodal_frames
 TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
@@ -143,5 +149,6 @@ TESTDATA_QUERIES["dedup_components"] = q_dedup_components
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
+TESTDATA_ORACLES["multimodal_frames"] = multimodal_frames_oracle()
 TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
 TESTDATA_ORACLES["dedup_components"] = dual.dedup_components_oracle()
