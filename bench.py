@@ -43,7 +43,10 @@ TESTDATA_BENCH = [
     "embed_lsh_ann",  # bucketed ANN (parameterized planes)
     "embed_ivf_ann",  # cell-pruned ANN (n_cells, nprobe)
     "embed_dup_pairs_lsh",  # multi-table LSH + exact-cosine verify
-    "chunk_passages",  # T3 applyInPandas greedy selection
+    "dedup_components",  # iterative min-label propagation over the pair graph
+    "training_ready",  # composed keeper ∧ lang ∧ quality gate
+    "multimodal_frames",  # mapInPandas frame-sample + resize
+    "chunk_passages",  # mapInPandas greedy selection
     "tpch_q1_pricing",
     "regional_revenue",
     "window_topk_per_order",
