@@ -116,3 +116,28 @@ def run_to_sinks_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_summary(
+    routed: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Gap-merged session windows per conversation (F.session_window): a
+    session extends while consecutive records of the conv arrive within `gap`;
+    state is bounded by the watermark. The batch twin of the same semantics is
+    the lag-gap sessionization (operators/dual.q_events_sessionize) — the
+    equivalence of the two formulations is asserted in tests/test_streaming.py.
+
+    Scale note: session_window keys streaming state by (conv_id, open
+    session); the watermark closes and evicts sessions, so state is
+    O(active conversations), never O(history)."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .select(
+            "conv_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_records",
+        )
+    )

@@ -59,3 +59,52 @@ def test_windowed_summary_matches_batch_window(spark, tmp_path):
     batch_routed = build_pipeline(spark, transcripts_df(spark, N_TURNS)).routed
     expected = {tuple(r) for r in spipe.windowed_summary(batch_routed).collect()}
     assert got == expected
+
+
+def test_session_windows_match_lag_sessionization(spark, tmp_path):
+    """Cross-formulation equivalence: streaming F.session_window (gap-merged
+    intervals) must produce the same per-conv session COUNT and record totals
+    as the batch lag-gap formulation (the q_events_sessionize pattern) — two
+    independent expressions of one session semantics."""
+    from pyspark.sql.window import Window
+
+    stream = _file_stream(spark, tmp_path)
+    routed_stream = spipe.stream_routed(spark, stream)
+    q = (
+        spipe.session_summary(routed_stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_summary")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("sess_summary")
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_records").alias("n_records"),
+        )
+    )
+
+    batch_routed = build_pipeline(spark, transcripts_df(spark, N_TURNS)).routed
+    w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx", "claim_idx")
+    lag_based = (
+        batch_routed.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                # session_window merges while next < prev + gap, so a new
+                # session starts at diff >= gap (not strictly greater)
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") >= 30 * 60)
+            ).cast("long"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_records"),
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in lag_based.collect()}
