@@ -36,10 +36,44 @@ def is_table_name(target: str) -> bool:
     return target.rsplit(".", 1)[1].lower() not in _FILE_EXTENSIONS
 
 
+_READERS = {
+    "parquet": lambda r, p: r.parquet(p),
+    "orc": lambda r, p: r.orc(p),
+    "json": lambda r, p: r.json(p),
+    "csv": lambda r, p: r.option("header", "true").option("inferSchema", "true").csv(p),
+}
+
+
 def read_transcripts(spark: SparkSession, target: str) -> DataFrame:
+    """Catalog table, or a path in any supported format (chosen by extension;
+    directories of part-files keep their format suffix on the directory name
+    or default to parquet)."""
     if is_table_name(target):
         return spark.read.table(target)
-    return spark.read.parquet(target)
+    ext = target.rstrip("/").rsplit(".", 1)[-1].lower()
+    reader = _READERS.get(ext, _READERS["parquet"])
+    return reader(spark.read, target)
+
+
+def write_bucketed_transcripts(
+    df: DataFrame, table_name: str, buckets: int = 16, path: str | None = None
+) -> None:
+    """Persist transcripts as a BUCKETED table on conv_id (sorted by
+    (conv_id, turn_idx)) — the native-Spark expression of the Iceberg spec's
+    `bucket(conv_id)` half. A bucketed scan exposes HashPartitioning(conv_id),
+    so per-conversation aggregations and conv-co-located joins run with NO
+    exchange: at 100 TB this removes the one wide shuffle the pipeline's
+    turn-order window would otherwise pay on every run — you pay the shuffle
+    once at ingest, not per query (plan-shape proof: tests/test_catalog.py)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
 
 
 def write_routed(routed: DataFrame, target: str) -> None:

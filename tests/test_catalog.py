@@ -38,3 +38,52 @@ def test_parquet_roundtrip_and_lineage_fallback(spark, tmp_path):
         "verdict",
     }
     assert catalog.current_lineage(spark, out, fallback="fp-123") == "fp-123"
+
+
+def test_is_table_name_rejects_file_extensions():
+    assert not catalog.is_table_name("data.parquet")
+    assert not catalog.is_table_name("Events.JSON")
+    assert catalog.is_table_name("db.events")
+
+
+def test_multi_format_reads(spark, tmp_path):
+    """Same transcripts through parquet / json / csv / orc paths — one reader
+    entrypoint, format by extension."""
+    base = transcripts_df(spark, 200)
+    expected = base.count()
+    for fmt in ("parquet", "json", "csv", "orc"):
+        p = str(tmp_path / f"t_{fmt}.{fmt}")
+        w = base.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(p)
+        else:
+            getattr(w, fmt)(p)
+        got = catalog.read_transcripts(spark, p)
+        assert got.count() == expected, fmt
+        assert "conv_id" in got.columns and "text" in got.columns, fmt
+
+
+def test_bucketed_table_removes_conv_shuffle(spark, tmp_path):
+    """bucket(conv_id) at ingest: per-conv aggregation over the bucketed table
+    must plan WITHOUT a shuffle (the scan already exposes
+    HashPartitioning(conv_id)); the identical aggregation over plain parquet
+    must show one — the pay-the-shuffle-once-at-ingest scale decision."""
+    df = transcripts_df(spark, 2000)
+    catalog.write_bucketed_transcripts(
+        df, "tx_bucketed", buckets=8, path=str(tmp_path / "tx_bucketed")
+    )
+
+    plain = str(tmp_path / "tx_plain")
+    df.write.parquet(plain)
+
+    agg_bucketed = spark.table("tx_bucketed").groupBy("conv_id").count()
+    agg_plain = spark.read.parquet(plain).groupBy("conv_id").count()
+    plan_b = agg_bucketed._jdf.queryExecution().executedPlan().toString()
+    plan_p = agg_plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_b, plan_b
+    assert "Exchange" in plan_p
+    # and the results are identical
+    assert sorted(map(tuple, agg_bucketed.collect())) == sorted(
+        map(tuple, agg_plain.collect())
+    )
+    spark.sql("DROP TABLE IF EXISTS tx_bucketed")
