@@ -126,8 +126,20 @@ def _from_dict(obj: dict) -> RulePack:
 
 
 def load_pack(path: str | None = None) -> RulePack:
-    """Load a rule-pack from JSON (or YAML when PyYAML is present)."""
-    path = path or DEFAULT_PACK_PATH
+    """Load a rule-pack from JSON (or YAML when PyYAML is present).
+
+    The default pack is read through importlib.resources so it loads from a
+    ``spark-submit --py-files`` ZIP exactly like from a checkout — a plain
+    ``open(<path inside zip>)`` would fail on every executor."""
+    if path is None:
+        from importlib import resources
+
+        raw = (
+            resources.files("openfactverification_spark.rulepacks")
+            .joinpath("default.json")
+            .read_text()
+        )
+        return _from_dict(json.loads(raw))
     with open(path) as f:
         raw = f.read()
     if path.endswith((".yaml", ".yml")):

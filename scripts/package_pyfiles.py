@@ -1,4 +1,8 @@
-"""Build dist/openfactverification_spark.zip for spark-submit --py-files."""
+"""Build dist/openfactverification_spark.zip for spark-submit --py-files.
+
+Ships .py AND .json: the parser rule-packs (rulepacks/*.json) are package data
+the pipeline loads at import time — a zip without them breaks every executor.
+"""
 
 from __future__ import annotations
 
@@ -18,7 +22,7 @@ def main() -> str:
             if "__pycache__" in root:
                 continue
             for f in sorted(files):
-                if f.endswith(".py"):
+                if f.endswith((".py", ".json")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
     print(out)
