@@ -148,6 +148,33 @@ def q_pipeline_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CJK unified-ideograph range as literal characters, so the identical pattern
+# parses in Java regex (Spark) and RE2 (DuckDB).
+CJK_CLASS = "[一-鿿]"
+
+
+def q_pipeline_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID over the multilingual transcript corpus (zh rows were added
+    with the rule-pack work): CJK-character-ratio heuristic per claim turn,
+    rolled up per (predicted_lang, role). Unlike the documents-table stopword
+    baseline (text_lang_id), this one discriminates on real signal — the CJK
+    range is unambiguous. The reference's zh path:
+    /root/reference/script/minimal_test_zh.json + chatgpt_prompt_zh.py."""
+    t = transcripts_df(spark, ORACLE_N_TURNS).filter(
+        ~F.col("text").rlike(parse_ops.TOOL_CALL_RE)
+    )
+    ratio = F.regexp_count(F.col("text"), F.lit(CJK_CLASS)) / F.length("text")
+    pred = F.when(ratio >= 0.3, F.lit("zh")).otherwise(F.lit("en"))
+    return (
+        t.withColumn("predicted_lang", pred)
+        .groupBy("predicted_lang", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.round(F.avg(ratio), 6).alias("avg_cjk_ratio"),
+        )
+    )
+
+
 def q_pipeline_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: round-robin selection — the i-th claim of each turn in turn order
     until 5 per conversation (the reference's round-robin evidence aggregation
@@ -228,6 +255,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_rollup": q_pipeline_rollup,
     "pipeline_token_stats": q_pipeline_token_stats,
     "pipeline_round_robin": q_pipeline_round_robin,
+    "pipeline_lang_id": q_pipeline_lang_id,
     "pipeline_evidence_union": q_pipeline_evidence_union,
     "pipeline_tool_last_status": q_pipeline_tool_last_status,
 }

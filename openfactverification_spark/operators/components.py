@@ -56,18 +56,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))).alias(
+                "comp"
+            ),
         )
-        # convergence check = one count over the changed rows; localCheckpoint
-        # truncates the per-round lineage growth
+        # localCheckpoint materializes the round AND truncates lineage growth
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")

@@ -275,6 +275,18 @@ SELECT role, COUNT(*)::BIGINT AS n_turns,
        SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
        SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_regex_tokens
 FROM transcripts GROUP BY role""",
+        "pipeline_lang_id": f"""{ctes},
+lang0 AS (
+  SELECT role, text,
+         len(regexp_extract_all(text, '[一-鿿]')) * 1.0 / length(text) AS cjk_ratio
+  FROM transcripts
+  WHERE NOT regexp_matches(text, {_q(TOOL_RE_SQL)})
+)
+SELECT CASE WHEN cjk_ratio >= 0.3 THEN 'zh' ELSE 'en' END AS predicted_lang,
+       role,
+       COUNT(*)::BIGINT AS n_turns,
+       ROUND(AVG(cjk_ratio), 6) AS avg_cjk_ratio
+FROM lang0 GROUP BY 1, 2""",
         "pipeline_round_robin": f"""{ctes},
 rr AS (
   SELECT conv_id, turn_idx, claim_idx,
