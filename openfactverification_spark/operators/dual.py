@@ -210,6 +210,7 @@ def q_dedup_minhash_lsh(
     k: int | None = None,
     bands: int | None = None,
     sh_sql: str | None = None,
+    max_band_bucket: int | None = None,
 ) -> str:
     """MinHash + LSH banding: band buckets -> candidate pairs -> exact-jaccard
     verify. The banded join keys the shuffle on (band_idx, band_hash), so at scale
@@ -224,7 +225,16 @@ def q_dedup_minhash_lsh(
     Spark inlines WITH-CTEs, so `bands` is produced by ONE explode over `sig`
     (a UNION ALL of per-band selects would recompute the signature aggregation —
     and its shingle explosion — once per band). DuckDB keeps the UNION ALL form;
-    it materializes multiply-referenced CTEs."""
+    it materializes multiply-referenced CTEs.
+
+    ``max_band_bucket`` is the hot-bucket guard for skewed corpora: a band
+    value shared by B docs contributes B^2/2 candidate pairs, so one
+    pathological bucket (boilerplate/empty-ish docs hashing identically) can
+    own the whole shuffle at 10^12 docs. With the cap set, buckets larger than
+    the cap are excluded from candidate generation (capped output ⊆ uncapped;
+    the members are near-certain duplicates of each other anyway and are
+    better handled by exact dedup first). Production pairs this with an
+    observe() metric on the dropped-bucket count — never a silent cap."""
     k = H.MINHASH_K if k is None else k
     bands = H.MINHASH_BANDS if bands is None else bands
     rows_per_band = k // bands
@@ -249,14 +259,28 @@ def q_dedup_minhash_lsh(
             f"SELECT doc_id, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
             for b in range(bands)
         )
+    cand_src = "bands"
+    cap_cte = ""
+    if max_band_bucket is not None:
+        cap_cte = f"""
+band_sizes AS (
+  SELECT band_idx, band_key, count(*) AS n_docs FROM bands GROUP BY band_idx, band_key
+),
+bands_ok AS (
+  SELECT b.doc_id, b.band_idx, b.band_key
+  FROM bands b JOIN band_sizes s
+    ON b.band_idx = s.band_idx AND b.band_key = s.band_key
+  WHERE s.n_docs <= {max_band_bucket}
+),"""
+        cand_src = "bands_ok"
     return f"""
 WITH {minhash_sig_cte(d, k=k, sh_sql=sh_sql)},
 bands AS (
   {bands_sql}
-),
+),{cap_cte}
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM {cand_src} a JOIN {cand_src} b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 verified AS (

@@ -56,6 +56,27 @@ def test_lsh_ann_neighbors_subset_of_bruteforce_space(spark):
     assert mismatches == 0
 
 
+def test_minhash_hot_bucket_cap_is_subset(spark):
+    """Skew guard: capping band-bucket size only removes candidates from
+    oversized buckets — capped pairs ⊆ uncapped pairs, and a binding cap does
+    remove something on this fixture (near-identical docs share band values)."""
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(dual.q_dedup_minhash_lsh(_S)).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(dual.q_dedup_minhash_lsh(_S, max_band_bucket=1)).collect()
+    }
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped), "cap=1 must exclude every shared bucket"
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in spark.sql(dual.q_dedup_minhash_lsh(_S, max_band_bucket=10**6)).collect()
+    }
+    assert loose == uncapped, "non-binding cap must be a no-op"
+
+
 def test_connected_components_transitive_closure(spark):
     """Dedup clustering: A~B and B~C must land in one component even when A~C
     was never emitted as a pair; keepers are the component minima."""
