@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # A/B on the 2M-turn sink write (BENCH.md): zstd 2.3s/35MB vs snappy
+        # 3.9s/45MB vs lz4 7.0s — faster AND ~22% smaller; at 100 TB the size
+        # win also cuts scan IO for every downstream reader.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
