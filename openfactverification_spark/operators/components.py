@@ -33,6 +33,78 @@ from pyspark.sql import functions as F
 MAX_ROUNDS = 50  # backstop; near-dup graph diameter is far smaller
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. §3): for every node u with
+    neighborhood N(u), connect each LARGER neighbor directly to
+    min(N(u) ∪ {u}). Input/output: unordered unique pairs as (hi, lo) with
+    hi > lo."""
+    sym = edges.selectExpr("hi AS u", "lo AS v").unionByName(
+        edges.selectExpr("lo AS u", "hi AS v")
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("u", F.col("mn")).alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(m, "u")
+        .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") > F.col("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: group the (hi, lo) edges by their larger endpoint
+    u; with m = min of u's smaller neighbors, connect u and every smaller
+    neighbor to m. Output: (hi, lo) pairs, hi > lo."""
+    m = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    via_neighbors = (
+        edges.join(m, "hi")
+        .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        .filter(F.col("hi") > F.col("lo"))
+    )
+    via_center = m.select(F.col("hi"), F.col("m").alias("lo"))
+    return via_neighbors.unionByName(via_center).distinct()
+
+
+def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    — the extreme-scale path: converges in O(log^2 n) rounds with the edge set
+    CONTRACTING every round (plain label propagation needs O(diameter) rounds
+    over the full edge set). Same output contract as connected_components:
+    (doc_id, component_id = component min, is_keeper); equality is pinned by
+    tests on random graphs."""
+    edges = (
+        pairs.selectExpr(
+            "greatest(id_a, id_b) AS hi", "least(id_a, id_b) AS lo"
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(MAX_ROUNDS):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        converged = (
+            new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty()
+        )
+        edges = new_edges
+        if converged:
+            break
+
+    # fixpoint edges are stars (node -> component min); singletons self-label
+    labels = edges.selectExpr("hi AS doc_id", "lo AS comp")
+    return (
+        nodes.join(labels, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("comp"), F.col("doc_id")).cast("long").alias("component_id"),
+        )
+        .withColumn("is_keeper", F.col("component_id") == F.col("doc_id"))
+    )
+
+
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """nodes(doc_id) x pairs(id_a, id_b) -> (doc_id, component_id, is_keeper).
 

@@ -114,14 +114,16 @@ def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment: connected components over the minhash-LSH
-    pair graph (operators/components.py — iterative min-label propagation;
-    DuckDB oracle = the same fixpoint as a recursive-CTE transitive closure).
-    Reuses the cached-shingle minhash runner for the pair list."""
-    from .operators.components import connected_components
+    pair graph, executed with the large-star/small-star contraction — the
+    O(log^2 n) scale path (operators/components.py; plain label propagation is
+    the verified-equal baseline). DuckDB oracle = the same fixpoint as a
+    recursive-CTE transitive closure. Reuses the cached-shingle minhash runner
+    for the pair list."""
+    from .operators.components import connected_components_star
 
     pairs = q_dedup_minhash_lsh_runner(spark, sf_dir)
     nodes = spark.table("documents").select("doc_id")
-    return connected_components(nodes, pairs)
+    return connected_components_star(nodes, pairs)
 
 
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:

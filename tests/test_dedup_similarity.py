@@ -96,6 +96,35 @@ def test_connected_components_transitive_closure(spark):
     assert keepers == {1, 10, 20, 99}
 
 
+def test_star_components_equal_plain_on_random_graphs(spark):
+    """The large-star/small-star contraction (the O(log^2 n) extreme-scale
+    path) must produce exactly the plain label-propagation fixpoint on random
+    graphs — chains, stars, cliques, singletons, whatever the seed builds."""
+    import random
+
+    from openfactverification_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        plain = sorted(map(tuple, connected_components(nodes, pairs).collect()))
+        star = sorted(map(tuple, connected_components_star(nodes, pairs).collect()))
+        assert plain == star, f"seed={seed}"
+
+
 def test_embed_dup_pairs_lsh_precision_and_recall(spark):
     """Scale twin of embed_dup_pairs: exact-cosine verify makes precision 1.0
     by construction (every reported pair is in the all-pairs baseline); recall
