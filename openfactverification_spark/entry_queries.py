@@ -175,6 +175,46 @@ def q_pipeline_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input data-quality gate: declarative constraint checks over the raw
+    transcripts (domain membership, turn-index range, non-empty text, tool
+    column ⇔ grok-parse consistency, timestamp range) — the
+    validate-before-processing stage a production pipeline runs ahead of
+    parse. ONE scan computes every violation count (conditional sums), then
+    stack() unpivots to (check_name, n_checked, n_violations) rows — no
+    per-check passes, no driver-side collect."""
+    t = transcripts_df(spark, ORACLE_N_TURNS)
+    tool_re = parse_ops.TOOL_CALL_RE
+    checks: list[tuple[str, F.Column]] = [
+        ("role_in_domain", ~F.col("role").isin("user", "assistant", "tool")),
+        ("turn_idx_in_range", (F.col("turn_idx") < 0) | (F.col("turn_idx") >= 8)),
+        ("text_nonempty", F.col("text").isNull() | (F.length("text") == 0)),
+        (
+            "tool_flag_consistent",
+            F.col("text").rlike(tool_re) != F.col("tool").isNotNull(),
+        ),
+        (
+            "tool_name_matches",
+            F.col("tool").isNotNull()
+            & (F.regexp_extract("text", tool_re, 1) != F.col("tool")),
+        ),
+        (
+            "ts_in_range",
+            (F.col("ts") < F.to_timestamp(F.lit("2025-01-01 00:00:00")))
+            | (F.col("ts") >= F.to_timestamp(F.lit("2025-01-07 00:00:00"))),
+        ),
+    ]
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[F.sum(cond.cast("long")).alias(name) for name, cond in checks],
+    )
+    stack_args = ", ".join(f"'{name}', {name}" for name, _ in checks)
+    return agg.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check_name, n_violations)",
+        "n_checked",
+    ).select("check_name", "n_checked", "n_violations")
+
+
 def q_pipeline_round_robin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: round-robin selection — the i-th claim of each turn in turn order
     until 5 per conversation (the reference's round-robin evidence aggregation
@@ -256,6 +296,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_token_stats": q_pipeline_token_stats,
     "pipeline_round_robin": q_pipeline_round_robin,
     "pipeline_lang_id": q_pipeline_lang_id,
+    "pipeline_dq_checks": q_pipeline_dq_checks,
     "pipeline_evidence_union": q_pipeline_evidence_union,
     "pipeline_tool_last_status": q_pipeline_tool_last_status,
 }

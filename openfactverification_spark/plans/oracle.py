@@ -275,6 +275,32 @@ SELECT role, COUNT(*)::BIGINT AS n_turns,
        SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
        SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_regex_tokens
 FROM transcripts GROUP BY role""",
+        "pipeline_dq_checks": f"""{ctes},
+dq AS (
+  SELECT COUNT(*)::BIGINT AS n_checked,
+         SUM((role NOT IN ('user','assistant','tool'))::INT)::BIGINT AS role_in_domain,
+         SUM((turn_idx < 0 OR turn_idx >= 8)::INT)::BIGINT AS turn_idx_in_range,
+         SUM((text IS NULL OR length(text) = 0)::INT)::BIGINT AS text_nonempty,
+         SUM((regexp_matches(text, {_q(TOOL_RE_SQL)}) <> (tool IS NOT NULL))::INT)::BIGINT
+           AS tool_flag_consistent,
+         SUM((tool IS NOT NULL
+              AND regexp_extract(text, {_q(TOOL_RE_SQL)}, 1) <> tool)::INT)::BIGINT
+           AS tool_name_matches,
+         SUM((ts < TIMESTAMP '2025-01-01 00:00:00'
+              OR ts >= TIMESTAMP '2025-01-07 00:00:00')::INT)::BIGINT AS ts_in_range
+  FROM transcripts
+)
+SELECT t.check_name, dq.n_checked,
+       CASE t.check_name
+         WHEN 'role_in_domain' THEN role_in_domain
+         WHEN 'turn_idx_in_range' THEN turn_idx_in_range
+         WHEN 'text_nonempty' THEN text_nonempty
+         WHEN 'tool_flag_consistent' THEN tool_flag_consistent
+         WHEN 'tool_name_matches' THEN tool_name_matches
+         ELSE ts_in_range END AS n_violations
+FROM dq, (SELECT unnest(['role_in_domain','turn_idx_in_range','text_nonempty',
+                         'tool_flag_consistent','tool_name_matches','ts_in_range'])
+          AS check_name) t""",
         "pipeline_lang_id": f"""{ctes},
 lang0 AS (
   SELECT role, text,
