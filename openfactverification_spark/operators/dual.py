@@ -1062,6 +1062,72 @@ SELECT {d.big('user_id')} AS user_id,
 FROM flags GROUP BY user_id"""
 
 
+def windows_cte(d: D, n_windows: int = 24, step_hours: int = 30, len_hours: int = 8) -> str:
+    """Deterministic maintenance-window dimension over the events month:
+    window w = [2024-01-01 + w*step, +len)."""
+    if d.spark:
+        return (
+            "SELECT cast(id as int) AS window_id, "
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, cast(id * "
+            f"{step_hours} as int), 0, 0) AS w_start, "
+            "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0, cast(id * "
+            f"{step_hours} + {len_hours} as int), 0, 0) AS w_end "
+            f"FROM range({n_windows})"
+        )
+    return (
+        "SELECT CAST(w AS INT) AS window_id, "
+        f"TIMESTAMP '2024-01-01 00:00:00' + (w * {step_hours}) * INTERVAL 1 HOUR AS w_start, "
+        f"TIMESTAMP '2024-01-01 00:00:00' + (w * {step_hours} + {len_hours}) * INTERVAL 1 HOUR AS w_end "
+        f"FROM range({n_windows}) t(w)"
+    )
+
+
+def q_events_window_join(d: D) -> str:
+    """RANGE JOIN baseline: events falling inside each maintenance window via a
+    non-equi join (ts >= w_start AND ts < w_end). Spark plans this as a
+    BroadcastNestedLoopJoin — fine while the window dim broadcasts, quadratic
+    the moment it doesn't; q_events_window_join_binned is the scale path."""
+    return f"""
+WITH windows AS ({windows_cte(d)})
+SELECT w.window_id, {d.big('count(*)')} AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM windows w
+JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id"""
+
+
+def q_events_window_join_binned(d: D, bin_secs: int = 4 * 3600) -> str:
+    """RANGE JOIN, scale path: bucketize time into fixed bins, explode each
+    window to the bins it covers, EQUI-join events on the bin, then verify the
+    exact range. The shuffle keys on the bin id, so the join scales with
+    events x windows-per-bin instead of events x windows — the standard
+    binned-interval-join rewrite Spark lacks natively (Databricks ships it as
+    a hint). Output identical to q_events_window_join (plan-shape guard:
+    tests/test_plans.py asserts no nested-loop join here)."""
+    end_sec = d.epoch_sec("w_end")
+    w_bins = d.seq(
+        d.div(d.epoch_sec("w_start"), bin_secs),
+        d.div(f"({end_sec} - 1)", bin_secs),
+    )
+    if d.spark:
+        wbins_sql = f"SELECT window_id, w_start, w_end, explode({w_bins}) AS bin FROM windows"
+    else:
+        wbins_sql = f"SELECT window_id, w_start, w_end, unnest({w_bins}) AS bin FROM windows"
+    return f"""
+WITH windows AS ({windows_cte(d)}),
+wbins AS (
+  {wbins_sql}
+),
+ebins AS (
+  SELECT ts, value, {d.div(d.epoch_sec('ts'), bin_secs)} AS bin FROM events
+)
+SELECT w.window_id, {d.big('count(*)')} AS n_events,
+       round(sum(e.value), 4) AS total_value
+FROM wbins w
+JOIN ebins e ON e.bin = w.bin AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id"""
+
+
 def q_events_error_gap(d: D) -> str:
     """As-of-join analog: for each error event, seconds since the user's most
     recent prior 'view' event (running conditional max over an ordered window)."""

@@ -54,6 +54,8 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_json_k": dual.q_events_json_k,
     "events_sessionize": dual.q_events_sessionize,
     "events_error_gap": dual.q_events_error_gap,
+    "events_window_join": dual.q_events_window_join,
+    "events_window_join_binned": dual.q_events_window_join_binned,
 }
 
 

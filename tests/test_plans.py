@@ -84,10 +84,26 @@ def test_scale_path_queries_never_plan_cartesian(spark):
         "embed_lsh_ann",
         "embed_ivf_ann",
         "chunk_passages",
+        "events_window_join_binned",
     ]:
         plan = _plan(TESTDATA_QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_range_join_baseline_vs_binned_plans_and_results(spark):
+    """The naive range join plans a nested-loop join (acceptable only while
+    the window dim broadcasts); the binned rewrite is a hash equi-join on the
+    bin key — and both return identical rows."""
+    from openfactverification_spark.testdata_queries import TESTDATA_QUERIES
+
+    naive = TESTDATA_QUERIES["events_window_join"](spark, SF_DIR)
+    binned = TESTDATA_QUERIES["events_window_join_binned"](spark, SF_DIR)
+    assert "BroadcastNestedLoopJoin" in _plan(naive)
+    plan_b = _plan(binned)
+    assert "BroadcastNestedLoopJoin" not in plan_b
+    assert "Join" in plan_b  # the equi-join survived
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, binned.collect()))
 
 
 def test_sketch_runners_materialize_once(spark):
