@@ -1128,6 +1128,29 @@ JOIN ebins e ON e.bin = w.bin AND e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.window_id"""
 
 
+def q_events_value_percentiles(d: D) -> str:
+    """Exact interpolated percentiles of event value per type (Spark
+    `percentile` ≡ DuckDB `quantile_cont`: same (1-f)*lo + f*hi definition, so
+    the doubles match bitwise across engines).
+
+    Scale note: EXACT percentile buffers every group value (Spark's
+    aggregation collects the column per group) — fine for bounded groups,
+    memory-unbounded at 10^12 rows/group. The production swap is
+    approx_percentile (t-digest sketch: mergeable, bounded memory, one pass);
+    it has no cross-engine-exact oracle by nature, so this exact form is the
+    registered anchor and tests/test_dedup_similarity.py bounds the sketch's
+    error against it."""
+    fn = "percentile" if d.spark else "quantile_cont"
+    cols = ",\n       ".join(
+        f"round({fn}(value, {p}), 6) AS p{int(p * 100)}" for p in (0.5, 0.9, 0.99)
+    )
+    return f"""
+SELECT event_type,
+       {cols},
+       {d.big('count(*)')} AS n
+FROM events GROUP BY event_type"""
+
+
 def q_events_error_gap(d: D) -> str:
     """As-of-join analog: for each error event, seconds since the user's most
     recent prior 'view' event (running conditional max over an ordered window)."""

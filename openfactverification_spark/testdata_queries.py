@@ -56,6 +56,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_error_gap": dual.q_events_error_gap,
     "events_window_join": dual.q_events_window_join,
     "events_window_join_binned": dual.q_events_window_join_binned,
+    "events_value_percentiles": dual.q_events_value_percentiles,
 }
 
 

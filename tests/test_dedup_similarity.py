@@ -206,3 +206,31 @@ def test_exact_dedup_keeper_is_min(spark):
     df = spark.sql(dual.q_dedup_exact(_S))
     assert df.count() > 0
     assert df.filter("n_copies < 1").count() == 0
+
+
+def test_approx_percentile_within_tolerance_of_exact(spark):
+    """The scale path for percentiles is the t-digest sketch
+    (approx_percentile: mergeable, bounded memory — exact percentile buffers
+    whole groups). No cross-engine-exact oracle exists for a sketch, so this
+    bounds its error against the exact registered anchor instead."""
+    exact = {
+        r["event_type"]: (r["p50"], r["p90"], r["p99"])
+        for r in spark.sql(dual.q_events_value_percentiles(_S)).collect()
+    }
+    approx = {
+        r["event_type"]: (r["a50"], r["a90"], r["a99"])
+        for r in spark.sql(
+            """SELECT event_type,
+                      approx_percentile(value, 0.5, 10000) AS a50,
+                      approx_percentile(value, 0.9, 10000) AS a90,
+                      approx_percentile(value, 0.99, 10000) AS a99
+               FROM events GROUP BY event_type"""
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    # the sketch returns an actual order statistic while the exact form
+    # interpolates between two, so small-group tails can differ by one
+    # inter-sample gap — 12% bounds that on this fixture
+    for et, ex in exact.items():
+        for e, a in zip(ex, approx[et]):
+            assert abs(e - a) <= max(0.12 * abs(e), 1.0), (et, e, a)
