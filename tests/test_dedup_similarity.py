@@ -228,9 +228,23 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         ).collect()
     }
     assert set(exact) == set(approx)
-    # the sketch returns an actual order statistic while the exact form
-    # interpolates between two, so small-group tails can differ by one
-    # inter-sample gap — 12% bounds that on this fixture
-    for et, ex in exact.items():
-        for e, a in zip(ex, approx[et]):
-            assert abs(e - a) <= max(0.12 * abs(e), 1.0), (et, e, a)
+    # The sketch guarantees RANK error (<= 1/accuracy), not value error — on a
+    # long-tailed distribution adjacent order statistics can be far apart, so
+    # the correct contract is: the approx value lies inside the exact
+    # [p - δ, p + δ] value band (δ = 0.02 rank slack for the tiny sf0.001
+    # groups).
+    bands = {
+        r["event_type"]: r
+        for r in spark.sql(
+            """SELECT event_type,
+                      percentile(value, 0.48) AS lo50, percentile(value, 0.52) AS hi50,
+                      percentile(value, 0.88) AS lo90, percentile(value, 0.92) AS hi90,
+                      percentile(value, 0.97) AS lo99, max(value) AS hi99
+               FROM events GROUP BY event_type"""
+        ).collect()
+    }
+    for et, (a50, a90, a99) in approx.items():
+        b = bands[et]
+        assert b["lo50"] - 1e-9 <= a50 <= b["hi50"] + 1e-9, (et, "p50", a50)
+        assert b["lo90"] - 1e-9 <= a90 <= b["hi90"] + 1e-9, (et, "p90", a90)
+        assert b["lo99"] - 1e-9 <= a99 <= b["hi99"] + 1e-9, (et, "p99", a99)
