@@ -483,6 +483,33 @@ FROM scored s JOIN keepers k ON s.doc_id = k.doc_id
 WHERE s.quality_score >= {min_quality} AND s.predicted_lang = '{lang}'"""
 
 
+def q_sample_stratified(d: D, rates: dict[str, float] | None = None) -> str:
+    """Deterministic stratified sampling per language stratum: keep a doc iff
+    its content hash falls under the stratum's rate threshold — hash-gated, no
+    rand(), so the sample is byte-reproducible across runs, engines, and
+    parallelism levels (the determinism constraint SURVEY §7 hard-part (c)
+    imposes on everything). Per-stratum rates rebalance a skewed corpus (the
+    standard training-mix knob); emitted as per-stratum counts + kept ids
+    checksum so the oracle verifies membership, not just volume."""
+    rates = rates or {"en": 0.5, "zh": 0.8, "de": 0.25, "fr": 0.25, "es": 0.25}
+    h = d.h7("text")
+    denom = 1 << 28  # h7 is a 28-bit hash
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(r * denom)}" for lang, r in sorted(rates.items())
+    )
+    thresh = f"CASE lang {cases} ELSE 0 END"
+    return f"""
+WITH gated AS (
+  SELECT doc_id, lang, ({h} < {thresh}) AS kept
+  FROM documents
+)
+SELECT lang,
+       {d.big('count(*)')} AS n_total,
+       {d.big('sum(CASE WHEN kept THEN 1 ELSE 0 END)')} AS n_kept,
+       {d.big('sum(CASE WHEN kept THEN doc_id ELSE 0 END)')} AS kept_id_sum
+FROM gated GROUP BY lang"""
+
+
 def q_doc_fingerprint(d: D, n: int = 4) -> str:
     """Rolling-hash document fingerprint: min/max shingle hash + distinct-shingle
     count (winnowing-style content signature)."""

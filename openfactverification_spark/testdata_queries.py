@@ -34,6 +34,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "dedup_simhash_banded": dual.q_dedup_simhash_banded,
     "doc_fingerprint": dual.q_doc_fingerprint,
     "training_ready": dual.q_training_ready,
+    "sample_stratified": dual.q_sample_stratified,
     "text_stats": dual.q_text_stats,
     "clean_text": dual.q_clean_text,
     "text_lang_id": dual.q_lang_id,
