@@ -51,6 +51,7 @@ TESTDATA_BENCH = [
     "regional_revenue",
     "window_topk_per_order",
     "events_sessionize",
+    "events_window_join_binned",  # binned range-join rewrite (equi-join on time bin)
 ]
 
 
