@@ -52,6 +52,11 @@ TESTDATA_BENCH = [
     "window_topk_per_order",
     "events_sessionize",
     "events_window_join_binned",  # binned range-join rewrite (equi-join on time bin)
+    "pii_redact",  # regex scrub — pure scan throughput
+    "quality_repetition",  # Gopher gate — explode + hashed-gram shuffle
+    "bm25_search",  # tf shuffle + scalar broadcasts + TakeOrdered
+    "events_scd2",  # gaps-and-islands, one exchange reused across windows
+    "pack_sequences",  # mapInPandas greedy packer, narrow Arrow transfer
 ]
 
 

@@ -102,6 +102,15 @@ class D:
         """sum() result normalization: DuckDB sums to HUGEINT; pin to BIGINT."""
         return f"cast({expr} as bigint)"
 
+    def to_str(self, expr) -> str:
+        return f"cast({expr} as string)" if self.spark else f"cast({expr} as varchar)"
+
+    def re_replace(self, col, pat, repl) -> str:
+        """Global regex replace (Spark is global by default; DuckDB needs 'g')."""
+        if self.spark:
+            return f"regexp_replace({col}, '{pat}', '{repl}')"
+        return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
+
 
 # ======================================================================================
 # Text / dedup building blocks
@@ -1192,3 +1201,280 @@ WITH w AS (
 SELECT {d.big('event_id')} AS event_id, {d.big('user_id')} AS user_id,
        cast({d.epoch_sec('ts')} - {d.epoch_sec('prior_view_ts')} as bigint) AS secs_since_view
 FROM w WHERE event_type = 'error'"""
+
+
+# ======================================================================================
+# Training-data hygiene: PII redaction, repetition quality gates, retrieval scoring
+# ======================================================================================
+
+def _re(d: D, pat: str) -> str:
+    """Render a regex for embedding in a SQL string literal: Spark SQL consumes
+    one backslash level inside '...' literals, DuckDB does not."""
+    return pat.replace("\\", "\\\\") if d.spark else pat
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(d: D) -> str:
+    """PII detection + redaction (the C4/Dolma-style scrub stage every
+    training-data pipeline runs before anything else): emails, phone numbers,
+    IPv4 addresses detected with shared-subset regexes (Java + RE2 compatible)
+    and replaced with typed placeholder tokens, plus per-category counts for
+    the removal audit log.
+
+    The driver's synthetic corpus contains no PII, so the query first plants
+    deterministic PII spans (keyed on doc_id, same formula in both engines) and
+    then redacts them — the oracle checks the *redaction*, not the planting.
+
+    Scale note: pure per-row regexp_replace/regexp_count — narrow, zero
+    shuffle, whole-stage codegen; the scan prunes to (doc_id, text). At
+    10^12 docs this stage is IO-bound, exactly as it should be."""
+    email, phone, ip = _re(d, PII_EMAIL_RE), _re(d, PII_PHONE_RE), _re(d, PII_IPV4_RE)
+    planted = (
+        "CASE WHEN doc_id % 4 = 0 THEN text || ' reach me at user' || "
+        f"{d.to_str('doc_id')} || '@mail-example.com today'\n"
+        "         WHEN doc_id % 4 = 1 THEN text || ' hotline 555-' || "
+        f"{d.to_str('doc_id % 900 + 100')} || '-0142 ext 9'\n"
+        "         WHEN doc_id % 4 = 2 THEN text || ' origin host 10.20.' || "
+        f"{d.to_str('doc_id % 256')} || '.7 logged'\n"
+        "         ELSE text END"
+    )
+    redacted = d.re_replace(
+        d.re_replace(d.re_replace("text", email, "<EMAIL>"), phone, "<PHONE>"),
+        ip,
+        "<IP>",
+    )
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, {planted} AS text FROM documents
+)
+SELECT {d.big('doc_id')} AS doc_id,
+       {redacted} AS redacted_text,
+       cast({d.regexp_count('text', email)} as int) AS n_emails,
+       cast({d.regexp_count('text', phone)} as int) AS n_phones,
+       cast({d.regexp_count('text', ip)} as int) AS n_ips,
+       ({d.regexp_count('text', email)} + {d.regexp_count('text', phone)}
+        + {d.regexp_count('text', ip)} > 0) AS has_pii
+FROM seeded"""
+
+
+def q_quality_repetition(d: D, top_frac_max: float = 0.20, dup_frac_max: float = 0.60) -> str:
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1: documents
+    dominated by a few repeated n-grams are boilerplate/spam): per doc, the
+    fraction of 2-grams covered by the single most frequent 2-gram and the
+    fraction that are duplicates, plus the keep/drop verdict at the published
+    thresholds.
+
+    Scale note: explode→groupBy with map-side partial aggregation; the grams
+    are hashed (h7) BEFORE the shuffle so exchange rows carry a fixed-width
+    int, not a variable-width bigram string — at 10^12 docs the shuffle is the
+    whole cost and ~30 bytes/gram saved is ~30% of it. 28-bit collisions only
+    matter *within* one doc's gram set (~10^2-10^4 distinct grams), where the
+    collision odds are negligible and identical in both engines."""
+    w = words_cte(d)
+    grams = d.transform(d.seq(0, f"{d.alen(w)} - 2"), "i", d.ajoin(d.aslice(w, "i", 2)))
+    if d.spark:
+        grams_from = f"SELECT doc_id, explode({grams}) AS gram FROM documents"
+    else:
+        grams_from = f"SELECT doc_id, unnest({grams}) AS gram FROM documents"
+    return f"""
+WITH grams AS ({grams_from}),
+freq AS (
+  SELECT doc_id, {d.h7('gram')} AS gh, count(*) AS c
+  FROM grams GROUP BY doc_id, {d.h7('gram')}
+),
+agg AS (
+  SELECT doc_id, max(c) AS top_c, {d.big('sum(c)')} AS tot, count(*) AS uniq
+  FROM freq GROUP BY doc_id
+)
+SELECT {d.big('doc_id')} AS doc_id,
+       round(cast(top_c as double) / tot, 6) AS top_bigram_frac,
+       round(1 - cast(uniq as double) / tot, 6) AS dup_bigram_frac,
+       cast(tot as int) AS n_bigrams,
+       (cast(top_c as double) / tot <= {top_frac_max}
+        AND 1 - cast(uniq as double) / tot <= {dup_frac_max}) AS keep
+FROM agg"""
+
+
+def q_bm25_search(d: D, terms: tuple = ("spark", "merge", "vector"), k: int = 10,
+                  k1: float = 1.2, b: float = 0.75) -> str:
+    """BM25 keyword retrieval over the corpus — the reference's query→retrieve
+    stage (SURVEY §2.1 S5-S7) recast as real corpus-side ranking instead of a
+    web API call: tf from an explode→groupBy, df/avgdl as tiny scalar
+    aggregates, Robertson idf, top-k by rounded score with doc_id tiebreak.
+
+    Scale note: the ONLY big shuffle is tf (narrow after the WHERE prunes
+    non-query terms at the map side — for a 3-term query the exchange carries
+    ~0 rows per doc); df and corpus stats are scalar-subquery broadcasts, and
+    the final top-k is TakeOrderedAndProject (no global sort). Scores are
+    rounded to 6 dp *before* ranking so float summation order can't flip ranks
+    between engines."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    if d.spark:
+        words_from = f"SELECT doc_id, explode({words_cte(d)}) AS word FROM documents"
+    else:
+        words_from = f"SELECT doc_id, unnest({words_cte(d)}) AS word FROM documents"
+    dl = d.alen(words_cte(d))
+    idf = "ln(1 + ((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5))"
+    return f"""
+WITH stats AS (
+  SELECT cast(count(*) as double) AS n_docs, avg({dl}) AS avgdl FROM documents
+),
+tf AS (
+  SELECT doc_id, word AS term, cast(count(*) as double) AS tf
+  FROM ({words_from}) t WHERE word IN ({in_list})
+  GROUP BY doc_id, word
+),
+df AS (
+  SELECT term, cast(count(*) as double) AS df, {idf} AS idf FROM tf GROUP BY term
+),
+dl AS (
+  SELECT doc_id, cast({dl} as double) AS dl FROM documents
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(df.idf * tf.tf * {k1 + 1}
+                   / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / (SELECT avgdl FROM stats)))), 6) AS bm25,
+         cast(count(*) as int) AS n_terms_matched
+  FROM tf JOIN df ON tf.term = df.term JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY tf.doc_id
+)
+SELECT {d.big('doc_id')} AS doc_id, bm25, n_terms_matched
+FROM scored ORDER BY bm25 DESC, doc_id LIMIT {k}"""
+
+
+def q_events_scd2(d: D) -> str:
+    """SCD2 state-interval build from the event changelog (the log-pipeline
+    'latest state + full history' table every warehouse derives): collapse
+    consecutive same-type runs per user (gaps-and-islands), emit
+    [valid_from, valid_to) intervals with valid_to = next run's start and
+    is_current on the open run.
+
+    Scale note: two window passes over the SAME (user_id | ts,event_id)
+    ordering — Catalyst plans ONE exchange + sort and reuses it for both lag
+    and the running sum; the groupBy keys on (user_id, run_id), a prefix of
+    the existing partitioning. Skewed mega-users are the same hazard as
+    mega-conversations; the salted two-phase pattern (operators/skew.py)
+    applies unchanged."""
+    order = "PARTITION BY user_id ORDER BY ts, event_id"
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER ({order}) = event_type THEN 0 ELSE 1 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(chg) OVER ({order} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+),
+intervals AS (
+  SELECT user_id, run_id, min(event_type) AS state,
+         min(ts) AS from_ts, {d.big('count(*)')} AS n_events
+  FROM runs GROUP BY user_id, run_id
+)
+SELECT {d.big('user_id')} AS user_id,
+       cast(run_id as int) AS run_seq,
+       state,
+       {d.epoch_sec('from_ts')} AS valid_from,
+       {d.epoch_sec("lead(from_ts) OVER (PARTITION BY user_id ORDER BY run_id)")} AS valid_to,
+       (lead(from_ts) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL) AS is_current,
+       n_events
+FROM intervals"""
+
+
+def q_events_distinct_daily(d: D) -> str:
+    """Exact daily distinct users + event volume — the cardinality anchor for
+    the HLL sketch path. count(DISTINCT) expands to a two-phase partial
+    distinct in Spark (dedup on (day, user) map-side, then count) — exact but
+    shuffle-heavy at 10^12 rows. The production swap is approx_count_distinct
+    / hll_sketch_agg (HyperLogLog: fixed ~KB state, MERGEABLE across
+    partitions and days — the property exact distinct fundamentally lacks);
+    tests/test_sketches.py bounds both against this anchor and checks sketch
+    mergeability (union of per-day sketches ≡ global estimate)."""
+    day = "cast(cast(ts as date) as string)" if d.spark else "strftime(ts, '%Y-%m-%d')"
+    return f"""
+SELECT {day} AS day,
+       {d.big('count(DISTINCT user_id)')} AS n_users,
+       {d.big('count(*)')} AS n_events
+FROM events GROUP BY {day}"""
+
+
+def pack_sequences_oracle(cap: int = 256) -> str:
+    """DuckDB-only oracle for the sequence packer (operators/packing.py): the
+    same greedy first-fit replayed as a recursive CTE whose state is
+    (bin, fill, accumulated rows) per stream — the chunk_passages_oracle
+    pattern for sequential-per-key operators."""
+    d = D("duckdb")
+    n_tok = d.alen(words_cte(d))
+    return f"""
+WITH RECURSIVE sized AS (
+  SELECT source, doc_id, cast({n_tok} as int) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS ord
+  FROM sized
+),
+counts AS (SELECT source, max(ord) AS n FROM ranked GROUP BY source),
+st AS (
+  SELECT source, CAST(0 AS BIGINT) AS i, 0 AS bin, 0 AS fill,
+         CAST([] AS STRUCT(d BIGINT, t INT, b INT, o INT)[]) AS acc
+  FROM counts
+  UNION ALL
+  SELECT st.source, st.i + 1,
+         CASE WHEN st.fill > 0 AND st.fill + r.n_tokens > {cap}
+              THEN st.bin + 1 ELSE st.bin END,
+         CASE WHEN st.fill > 0 AND st.fill + r.n_tokens > {cap}
+              THEN r.n_tokens ELSE st.fill + r.n_tokens END,
+         list_append(st.acc, {{'d': r.doc_id, 't': r.n_tokens,
+           'b': CASE WHEN st.fill > 0 AND st.fill + r.n_tokens > {cap}
+                     THEN st.bin + 1 ELSE st.bin END,
+           'o': CASE WHEN st.fill > 0 AND st.fill + r.n_tokens > {cap}
+                     THEN 0 ELSE st.fill END}})
+  FROM st JOIN ranked r ON r.source = st.source AND r.ord = st.i + 1
+),
+final AS (
+  SELECT st.source, st.acc FROM st JOIN counts c ON c.source = st.source AND st.i = c.n
+)
+SELECT source,
+       CAST(u.x.d AS BIGINT) AS doc_id,
+       CAST(u.x.t AS INT) AS n_tokens,
+       CAST(u.x.b AS INT) AS bin_idx,
+       CAST(u.x.o AS INT) AS offset_tokens
+FROM final, (SELECT unnest(acc) AS x) u"""
+
+
+def q_events_zorder_key(d: D, bits: int = 12) -> str:
+    """Z-order (Morton) clustering key over (user_id, day) — the multi-dim
+    data-layout op behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the bits
+    of both dimensions makes a lexicographic sort group rows that are close in
+    EITHER dimension, so parquet file/row-group min-max envelopes stay tight on
+    both columns at once and a box predicate (user range × date range) prunes
+    files that any single-column sort must read (measured: tests/test_zorder.py
+    counts intersecting file envelopes under all three layouts).
+
+    The interleave is an unrolled literal OR-of-shifts — branch-free int
+    arithmetic inside whole-stage codegen, no UDF. `bits`=12 covers 4096
+    distinct values per dimension; production uses each dimension's rank
+    (range-bucketed percentile) rather than the raw value, which is a
+    repartitionByRange + the same interleave."""
+    day = "cast(cast(ts as date) - date'2024-01-01' as int)"  # same in both dialects
+    a, b = "cast(user_id as int)", "day_no"
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    z = " | ".join(terms)
+    return f"""
+WITH based AS (
+  SELECT event_id, user_id, {day} AS day_no FROM events
+)
+SELECT {d.big('event_id')} AS event_id,
+       {d.big('user_id')} AS user_id,
+       cast(day_no as int) AS day_no,
+       {d.big(z)} AS zval
+FROM based"""

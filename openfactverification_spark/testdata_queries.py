@@ -58,6 +58,12 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_window_join": dual.q_events_window_join,
     "events_window_join_binned": dual.q_events_window_join_binned,
     "events_value_percentiles": dual.q_events_value_percentiles,
+    "pii_redact": dual.q_pii_redact,
+    "quality_repetition": dual.q_quality_repetition,
+    "bm25_search": dual.q_bm25_search,
+    "events_scd2": dual.q_events_scd2,
+    "events_distinct_daily": dual.q_events_distinct_daily,
+    "events_zorder_key": dual.q_events_zorder_key,
 }
 
 
@@ -143,6 +149,16 @@ def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_ops.select_passages(passage_ops.with_scores(chunks))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed-capacity context windows via ONE
+    mapInPandas pass over source-partitioned streams (operators/packing.py).
+    DuckDB oracle = the same greedy scan as a recursive CTE."""
+    from .operators.packing import pack_sequences
+
+    _register_views(spark, sf_dir)
+    return pack_sequences(spark.table("documents"))
+
+
 TESTDATA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _make_runner(b) for name, b in _DUAL_QUERIES.items()
 }
@@ -152,9 +168,11 @@ TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 TESTDATA_QUERIES["dedup_components"] = q_dedup_components
+TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
 TESTDATA_ORACLES["multimodal_frames"] = multimodal_frames_oracle()
 TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
 TESTDATA_ORACLES["dedup_components"] = dual.dedup_components_oracle()
+TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
