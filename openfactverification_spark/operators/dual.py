@@ -1478,3 +1478,89 @@ SELECT {d.big('event_id')} AS event_id,
        cast(day_no as int) AS day_no,
        {d.big(z)} AS zval
 FROM based"""
+
+
+def q_embed_kmeans_step(d: D, n_cells: int = 8) -> str:
+    """One k-means refinement step for the IVF centroids — the missing half of
+    q_embed_ivf_ann's scale story ('production: k-means-refined'): assign every
+    vector to its nearest seeded centroid (same unrolled literal-dot
+    assignment), then recompute each cell's centroid as the per-dimension mean.
+
+    Scale shape: assignment is a narrow projection (no join — the centroid
+    table folds into codegen'd arithmetic); the mean is posexplode →
+    groupBy(cell, dim) with map-side partial aggregation — (cells × dim) output
+    rows regardless of N, so iterating to convergence costs one scan per step
+    and the reducer state stays tiny. Emits (cell_id, pos, centroid_val,
+    n_members) per dimension."""
+    cents = H.IVF_CENTROID_POOL[:n_cells]
+    dval_cols = ",\n         ".join(
+        f"{_dot_lit(d, 'embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('cell_id', {i}, 'cdot', d{i})" for i in range(n_cells)
+        )
+        assign_inner = (
+            "SELECT vec_id, embedding, cc.cell_id AS cell_id, cc.cdot AS cdot\n"
+            f"    FROM dvals LATERAL VIEW explode(array({structs})) t AS cc"
+        )
+        dims_from = (
+            "SELECT cell_id, pos, cast(v as double) AS v\n"
+            "  FROM data LATERAL VIEW posexplode(embedding) t AS pos, v"
+        )
+    else:
+        assign_inner = "\n    UNION ALL\n    ".join(
+            f"SELECT vec_id, embedding, {i} AS cell_id, d{i} AS cdot FROM dvals"
+            for i in range(n_cells)
+        )
+        dims_from = (
+            "SELECT cell_id, cast(p.pos as int) AS pos,"
+            " cast(embedding[p.pos + 1] as double) AS v\n"
+            f"  FROM data, (SELECT unnest(range(0, {H.EMBED_DIM})) AS pos) p"
+        )
+    return f"""
+WITH dvals AS (
+  SELECT vec_id, embedding, {dval_cols}
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, embedding, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS crank
+  FROM (
+    {assign_inner}
+  ) t
+),
+data AS (
+  SELECT vec_id, embedding, cell_id FROM assign WHERE crank = 1
+),
+members AS (
+  SELECT cell_id, {d.big('count(*)')} AS n_members FROM data GROUP BY cell_id
+),
+dims AS (
+  {dims_from}
+)
+SELECT cast(dims.cell_id as int) AS cell_id,
+       cast(pos as int) AS pos,
+       round(avg(v), 6) AS centroid_val,
+       max(m.n_members) AS n_members
+FROM dims JOIN members m ON m.cell_id = dims.cell_id
+GROUP BY dims.cell_id, pos"""
+
+
+def q_corpus_top_terms(d: D, k: int = 25) -> str:
+    """Corpus-wide exact top-k terms (the vocabulary/stopword audit every text
+    pipeline starts with): explode → count → TakeOrderedAndProject. Exact
+    global heavy-hitters need the full term aggregate; the bounded-memory
+    sketch swap at 10^12 tokens is count-min / space-saving over the same
+    exploded stream (Spark ships count_min_sketch as an aggregate), with this
+    exact form as the anchor."""
+    w = words_cte(d)
+    if d.spark:
+        terms_from = f"SELECT explode({w}) AS term FROM documents"
+    else:
+        terms_from = f"SELECT unnest({w}) AS term FROM documents"
+    return f"""
+WITH terms AS ({terms_from})
+SELECT term, {d.big('count(*)')} AS n
+FROM terms GROUP BY term
+ORDER BY n DESC, term LIMIT {k}"""

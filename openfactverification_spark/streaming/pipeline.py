@@ -141,3 +141,22 @@ def session_summary(
             "n_records",
         )
     )
+
+
+def stream_dedup(
+    transcripts: DataFrame, watermark: str = "1 day", keys: tuple = ("conv_id", "turn_idx")
+) -> DataFrame:
+    """At-least-once → exactly-once: drop redelivered turns by key within the
+    watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming twin of
+    the batch dedup_exact/dropDuplicates step, and the standard guard in front
+    of any log bus that redelivers (Kafka, Kinesis).
+
+    State is keyed on `keys` and expired by the event-time watermark, so memory
+    is bounded by (keys arriving within the horizon), not by stream length —
+    the property that makes this viable on an unbounded 10^12-turn feed. A
+    duplicate arriving later than the watermark is NOT caught here; that tail
+    is the batch reconciliation pass (checkpoint.py epochs are idempotent, so
+    replaying a day removes stragglers)."""
+    return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -64,6 +64,8 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_scd2": dual.q_events_scd2,
     "events_distinct_daily": dual.q_events_distinct_daily,
     "events_zorder_key": dual.q_events_zorder_key,
+    "embed_kmeans_step": dual.q_embed_kmeans_step,
+    "corpus_top_terms": dual.q_corpus_top_terms,
 }
 
 
