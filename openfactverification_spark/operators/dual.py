@@ -1564,3 +1564,110 @@ WITH terms AS ({terms_from})
 SELECT term, {d.big('count(*)')} AS n
 FROM terms GROUP BY term
 ORDER BY n DESC, term LIMIT {k}"""
+
+
+# ======================================================================================
+# Telemetry analytics: funnel, cohort retention, anomaly flags, sliding rate
+# ======================================================================================
+
+DAY_NO = "cast(cast(ts as date) - date'2024-01-01' as int)"  # same in both dialects
+
+
+def q_events_funnel(d: D) -> str:
+    """Ordered conversion funnel per day: first view → first click after it →
+    first purchase after that (strict event-time ordering, not mere presence).
+
+    Scale shape: every stage is a groupBy + join on the SAME (user_id, day_no)
+    key, so Catalyst plans one hash partitioning reused across all stages —
+    funnel depth adds co-partitioned map-side work, not new shuffles. The
+    window-per-user alternative buffers each user's full event list; this form
+    keeps only one timestamp per (user, day, stage)."""
+    return f"""
+WITH base AS (
+  SELECT user_id, {DAY_NO} AS day_no, event_type, ts FROM events
+),
+v AS (SELECT user_id, day_no, min(ts) AS t FROM base WHERE event_type = 'view' GROUP BY user_id, day_no),
+c AS (
+  SELECT b.user_id, b.day_no, min(b.ts) AS t
+  FROM base b JOIN v ON v.user_id = b.user_id AND v.day_no = b.day_no
+  WHERE b.event_type = 'click' AND b.ts > v.t GROUP BY b.user_id, b.day_no
+),
+p AS (
+  SELECT b.user_id, b.day_no, min(b.ts) AS t
+  FROM base b JOIN c ON c.user_id = b.user_id AND c.day_no = b.day_no
+  WHERE b.event_type = 'purchase' AND b.ts > c.t GROUP BY b.user_id, b.day_no
+)
+SELECT v.day_no,
+       {d.big('count(*)')} AS n_view,
+       {d.big('count(c.user_id)')} AS n_view_click,
+       {d.big('count(p.user_id)')} AS n_full_funnel
+FROM v LEFT JOIN c ON c.user_id = v.user_id AND c.day_no = v.day_no
+       LEFT JOIN p ON p.user_id = v.user_id AND p.day_no = v.day_no
+GROUP BY v.day_no"""
+
+
+def q_events_retention(d: D, horizon: int = 7) -> str:
+    """Cohort retention: users cohorted by first signup day, counted active on
+    each of the following `horizon` days. The cohort table is one row per user
+    (broadcastable at any realistic user cardinality); activity is the distinct
+    (user, day) projection — both shuffles key on user_id and reuse one
+    partitioning."""
+    return f"""
+WITH base AS (
+  SELECT user_id, {DAY_NO} AS day_no, event_type FROM events
+),
+cohort AS (
+  SELECT user_id, min(day_no) AS cohort_day FROM base
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (SELECT DISTINCT user_id, day_no FROM base)
+SELECT cohort_day,
+       (a.day_no - c.cohort_day) AS day_n,
+       {d.big('count(DISTINCT a.user_id)')} AS n_active
+FROM cohort c JOIN activity a ON a.user_id = c.user_id
+WHERE a.day_no - c.cohort_day BETWEEN 0 AND {horizon}
+GROUP BY cohort_day, a.day_no - c.cohort_day"""
+
+
+def q_events_anomaly_mad(d: D, k: float = 3.5) -> str:
+    """Robust anomaly counts per event type: |value - median| > k·1.4826·MAD
+    (the modified z-score rule — median/MAD instead of mean/stddev so the
+    outliers being hunted can't poison the threshold). Exact medians match
+    bitwise across engines (percentile ≡ quantile_cont); the 10^12-row swap is
+    approx_percentile for both quantile passes, bounded in
+    tests/test_dedup_similarity.py's t-digest harness."""
+    fn = "percentile" if d.spark else "quantile_cont"
+    return f"""
+WITH med AS (
+  SELECT event_type, {fn}(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+madt AS (
+  SELECT event_type, {fn}(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       {d.big('count(*)')} AS n,
+       {d.big(f'sum(CASE WHEN d.adev > {k} * 1.4826 * m.mad THEN 1 ELSE 0 END)')} AS n_outliers,
+       round(max(m.mad), 6) AS mad
+FROM dev d JOIN madt m ON m.event_type = d.event_type
+GROUP BY d.event_type"""
+
+
+def q_events_sliding_rate(d: D, window_sec: int = 3600) -> str:
+    """Per-event trailing-window rate: how many events this user emitted in the
+    last hour, including this one — the batch twin of the reference's request
+    rate limiter (SURVEY §2 A6; the streaming form is
+    streaming/windowed_summary). RANGE frame over epoch seconds: state per
+    user is the window buffer, bounded by rate x horizon, and the only
+    exchange keys on user_id (mega-user skew → operators/skew.py salting)."""
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, {d.epoch_sec('ts')} AS sec FROM events
+)
+SELECT {d.big('event_id')} AS event_id, {d.big('user_id')} AS user_id,
+       {d.big(f'''count(*) OVER (PARTITION BY user_id ORDER BY sec
+            RANGE BETWEEN {window_sec} PRECEDING AND CURRENT ROW)''')} AS n_in_window
+FROM base"""
