@@ -1577,11 +1577,13 @@ def q_events_funnel(d: D) -> str:
     """Ordered conversion funnel per day: first view → first click after it →
     first purchase after that (strict event-time ordering, not mere presence).
 
-    Scale shape: every stage is a groupBy + join on the SAME (user_id, day_no)
-    key, so Catalyst plans one hash partitioning reused across all stages —
-    funnel depth adds co-partitioned map-side work, not new shuffles. The
-    window-per-user alternative buffers each user's full event list; this form
-    keeps only one timestamp per (user, day, stage)."""
+    Scale shape: every stage aggregates and joins on the SAME (user_id, day_no)
+    key — each stage keeps ONE timestamp per (user, day), so the stage tables
+    shrink monotonically down the funnel: at test scale Catalyst broadcasts
+    them (executed plan: 5 BHJ, 0 SMJ), at 10^12 events the joins fall back to
+    SMJs that are all co-partitioned on the one key. The window-per-user
+    alternative buffers each user's full event list — unbounded per-key state
+    this form never holds."""
     return f"""
 WITH base AS (
   SELECT user_id, {DAY_NO} AS day_no, event_type, ts FROM events
