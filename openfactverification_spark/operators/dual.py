@@ -1673,3 +1673,42 @@ SELECT {d.big('event_id')} AS event_id, {d.big('user_id')} AS user_id,
        {d.big(f'''count(*) OVER (PARTITION BY user_id ORDER BY sec
             RANGE BETWEEN {window_sec} PRECEDING AND CURRENT ROW)''')} AS n_in_window
 FROM base"""
+
+
+def q_events_grok_parse(d: D) -> str:
+    """Grok log-line parsing + dead-letter split (functions/grok.py): the
+    events table is rendered into syslog-ish lines (deterministically, same
+    formula both engines; every 13th line is corrupted by dropping the ip
+    field), then parsed back with a grok expression compiled to one shared
+    Java/RE2 regex. Non-matching lines surface as grok_matched=false with
+    empty fields — the quarantine-route predicate a real ingest pipeline
+    ships to its dead-letter sink.
+
+    Scale shape: render + N anchored regexp_extracts + match flag, all in one
+    codegen'd projection over one scan — grok parsing at 10^12 lines is pure
+    scan throughput, exactly like pii_redact."""
+    from ..functions.grok import grok_select_sql
+
+    iso = (
+        "date_format(ts, 'yyyy-MM-dd') || 'T' || date_format(ts, 'HH:mm:ss')"
+        if d.spark
+        else "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    )
+    level = "CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END"
+    ip = f"'10.' || {d.to_str('user_id % 256')} || '.0.' || {d.to_str('event_id % 200')}"
+    lat = "round(value, 2)"
+    line = (
+        f"{iso} || ' ' || {level} || ' ' || event_type || ' user=' || "
+        f"{d.to_str('user_id')} || CASE WHEN event_id % 13 = 0 THEN '' "
+        f"ELSE ' ip=' || {ip} END || ' latency=' || {d.to_str(lat)} || 'ms'"
+    )
+    expr = ("%{TIMESTAMP_ISO8601:ts_str} %{LOGLEVEL:level} %{WORD:etype} "
+            "user=%{INT:user} ip=%{IP:client} latency=%{NUMBER:latency}ms")
+    cols = ",\n       ".join(grok_select_sql("line", expr, d.name))
+    return f"""
+WITH lines AS (
+  SELECT event_id, {line} AS line FROM events
+)
+SELECT {d.big('event_id')} AS event_id,
+       {cols}
+FROM lines"""

@@ -70,6 +70,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_retention": dual.q_events_retention,
     "events_anomaly_mad": dual.q_events_anomaly_mad,
     "events_sliding_rate": dual.q_events_sliding_rate,
+    "events_grok_parse": dual.q_events_grok_parse,
 }
 
 
