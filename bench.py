@@ -57,6 +57,7 @@ TESTDATA_BENCH = [
     "bm25_search",  # tf shuffle + scalar broadcasts + TakeOrdered
     "events_scd2",  # gaps-and-islands, one exchange reused across windows
     "pack_sequences",  # mapInPandas greedy packer, narrow Arrow transfer
+    "events_grok_parse",  # grok compile -> anchored extracts, scan-bound
 ]
 
 
