@@ -280,6 +280,30 @@ def q_pipeline_tool_last_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline with the PII scrub as stage 0 (operators/scrub.py):
+    deterministic PII is planted into the synthetic turns, scrubbed pre-parse,
+    and the full parse → enrich → route chain runs over the redacted text. Per
+    route: record counts, records carrying a redaction placeholder, and the
+    leak count (records still matching a raw PII regex — the invariant is 0).
+
+    The scrub is a regexp_replace projection fused into the parse scan — zero
+    added shuffle; at 10^12 turns the hygiene pass is free IO-wise."""
+    from .operators import scrub as scrub_ops
+
+    scrubbed = scrub_ops.seed_and_scrub(transcripts_df(spark, ORACLE_N_TURNS))
+    routed = build_pipeline(spark, scrubbed).routed
+    return routed.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(scrub_ops.placeholder_predicate().cast("int"))
+        .cast("bigint")
+        .alias("n_redacted_records"),
+        F.sum(scrub_ops.pii_leak_predicate().cast("int"))
+        .cast("bigint")
+        .alias("n_leaks"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_summary": q_pipeline_summary,
     "pipeline_summary_per_conv": q_pipeline_summary_per_conv,
@@ -299,6 +323,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_dq_checks": q_pipeline_dq_checks,
     "pipeline_evidence_union": q_pipeline_evidence_union,
     "pipeline_tool_last_status": q_pipeline_tool_last_status,
+    "pipeline_pii_scrubbed": q_pipeline_pii_scrubbed,
 }
 
 

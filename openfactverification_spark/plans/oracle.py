@@ -49,8 +49,13 @@ def _values_cte(name: str, cols: list[str], rows: list[tuple]) -> str:
     return f"{name} AS (SELECT * FROM (VALUES\n    {vals}\n  ) t({', '.join(cols)}))"
 
 
-def pipeline_ctes(n_turns: int) -> str:
-    """The full WITH-chain: transcripts, records, enriched, routed."""
+def pipeline_ctes(n_turns: int, scrub: bool = False) -> str:
+    """The full WITH-chain: transcripts, records, enriched, routed.
+
+    With ``scrub=True`` the transcripts CTE is wrapped with the PII
+    seed-and-scrub stage (operators/scrub.py — the same dual-dialect template
+    the Spark side executes), so the whole downstream chain runs over redacted
+    text in both engines."""
     cw = _values_cte(
         "cw_dim", ["claim_norm", "cw_label", "cw_reason"], checkworthy_labels_rows()
     )
@@ -65,9 +70,26 @@ def pipeline_ctes(n_turns: int) -> str:
         tool_metadata_rows(),
     )
 
-    return f"""WITH transcripts AS (
+    if scrub:
+        from ..operators.dual import D as _D
+        from ..operators.scrub import scrubbed_text_expr, seeded_text_expr
+
+        _d = _D("duckdb")
+        transcripts_cte = f"""transcripts_raw AS (
   {transcripts_duckdb_sql(n_turns)}
 ),
+transcripts AS (
+  SELECT conv_id, turn_idx, role,
+         {scrubbed_text_expr(_d, f"({seeded_text_expr(_d)})")} AS text,
+         tool, ts
+  FROM transcripts_raw
+)"""
+    else:
+        transcripts_cte = f"""transcripts AS (
+  {transcripts_duckdb_sql(n_turns)}
+)"""
+
+    return f"""WITH {transcripts_cte},
 {cw},
 {ev},
 {tools},
@@ -342,4 +364,26 @@ SELECT conv_id, tool_name,
        COUNT(*)::BIGINT AS n_calls
 FROM routed WHERE record_kind = 'tool_call'
 GROUP BY conv_id, tool_name""",
+        "pipeline_pii_scrubbed": _pii_scrubbed_sql(n_turns),
     }
+
+
+def _pii_scrubbed_sql(n_turns: int) -> str:
+    """Flagship pipeline over seed-and-scrubbed transcripts (operators/scrub.py):
+    per route, record counts, how many records carry a redaction placeholder,
+    and the leak count (records still matching a raw PII regex — must be 0)."""
+    from ..operators.scrub import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    ctes = pipeline_ctes(n_turns, scrub=True)
+    payload = "COALESCE(claim, text)"
+    has_ph = " OR ".join(f"{payload} LIKE '%{p}%'" for p in ("<EMAIL>", "<PHONE>", "<IP>"))
+    leaks = " OR ".join(
+        f"regexp_matches({payload}, {_q(p)})"
+        for p in (PII_EMAIL_RE, PII_PHONE_RE, PII_IPV4_RE)
+    )
+    return f"""{ctes}
+SELECT route,
+       COUNT(*)::BIGINT AS n_records,
+       SUM(({has_ph})::INT)::BIGINT AS n_redacted_records,
+       SUM(({leaks})::INT)::BIGINT AS n_leaks
+FROM routed GROUP BY route"""
