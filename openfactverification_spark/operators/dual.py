@@ -1299,6 +1299,75 @@ SELECT {d.big('doc_id')} AS doc_id,
 FROM agg"""
 
 
+def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
+    """Cross-document duplicated-substring coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact substring
+    dedup at n-gram granularity — the complement of doc-level dedup, catching
+    boilerplate shared across otherwise-distinct documents). Per doc: how many
+    token n-grams also occur in ANOTHER doc, the exact count of tokens covered
+    by the union of those duplicated spans (gaps-and-islands interval union,
+    not naive n x count which double-counts overlaps), and the keep verdict at
+    a coverage threshold.
+
+    Scale notes for 10^12 docs:
+      * grams are hashed (h7) INSIDE the per-row transform, so the explode and
+        the groupBy exchange carry a fixed-width int, never the n-word string;
+      * "appears in >1 doc" is min(doc_id) <> max(doc_id) — two cheap partial
+        aggregates with map-side combine, NOT count(distinct doc_id) (which
+        would keep a per-gram hash set alive through the shuffle);
+      * the interval-union window partitions by doc_id and is bounded by doc
+        length — no global window, no skew beyond the longest single doc.
+    28-bit gram-hash collisions can mark a false duplicate; production uses the
+    same plan over a 64-bit hash (the narrow column width is what matters)."""
+    w = words_cte(d)
+    garr = d.transform(
+        d.seq(0, f"{d.alen(w)} - {n}"), "i", d.h7(d.ajoin(d.aslice(w, "i", n)))
+    )
+    if d.spark:
+        grams_from = (
+            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM documents "
+            f"WHERE {d.alen(w)} >= {n}) LATERAL VIEW posexplode(garr) AS pos, gh"
+        )
+    else:
+        grams_from = (
+            f"SELECT doc_id, CAST(unnest(range(0, len(garr))) AS INT) AS pos, unnest(garr) AS gh "
+            f"FROM (SELECT doc_id, {garr} AS garr FROM documents WHERE {d.alen(w)} >= {n}) t"
+        )
+    prev_end = (
+        f"max(pos + {n}) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    )
+    return f"""
+WITH grams AS ({grams_from}),
+dupg AS (
+  SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+),
+hits AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)
+),
+clipped AS (
+  SELECT doc_id, pos, greatest(pos, coalesce({prev_end}, 0)) AS clip_start
+  FROM hits
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_grams,
+         {d.big(f'sum(greatest(pos + {n} - clip_start, 0))')} AS covered
+  FROM clipped GROUP BY doc_id
+),
+docstats AS (
+  SELECT doc_id, {d.alen(w)} AS n_tokens, greatest({d.alen(w)} - {n} + 1, 0) AS n_grams
+  FROM documents
+)
+SELECT {d.big('s.doc_id')} AS doc_id,
+       cast(s.n_tokens as int) AS n_tokens,
+       cast(s.n_grams as int) AS n_grams,
+       cast(coalesce(p.n_dup_grams, 0) as int) AS n_dup_grams,
+       cast(coalesce(p.covered, 0) as int) AS dup_tokens,
+       round(cast(coalesce(p.covered, 0) as double) / s.n_tokens, 6) AS dup_token_frac,
+       (cast(coalesce(p.covered, 0) as double) / s.n_tokens <= {frac_max}) AS keep
+FROM docstats s LEFT JOIN per_doc p ON s.doc_id = p.doc_id"""
+
+
 def q_bm25_search(d: D, terms: tuple = ("spark", "merge", "vector"), k: int = 10,
                   k1: float = 1.2, b: float = 0.75) -> str:
     """BM25 keyword retrieval over the corpus — the reference's query→retrieve

@@ -248,3 +248,36 @@ def test_approx_percentile_within_tolerance_of_exact(spark):
         assert b["lo50"] - 1e-9 <= a50 <= b["hi50"] + 1e-9, (et, "p50", a50)
         assert b["lo90"] - 1e-9 <= a90 <= b["hi90"] + 1e-9, (et, "p90", a90)
         assert b["lo99"] - 1e-9 <= a99 <= b["hi99"] + 1e-9, (et, "p99", a99)
+
+
+def test_ngram_span_interval_union_exact(spark):
+    """Hand-built corpus: overlapping duplicated 8-gram spans must be counted
+    via interval union (no double-count), docs shorter than n get zero."""
+    from openfactverification_spark.operators.dual import D, q_dedup_ngram_spans
+
+    # doc 1 and 2 share tokens w0..w9 (10 tokens => 3 dup 8-grams, union = 10
+    # tokens each); doc 3 is unrelated; doc 4 is too short for any 8-gram.
+    shared = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, shared + " only1 a b c"),
+        (2, shared + " only2 x y z"),
+        (3, " ".join(f"u{i}" for i in range(12))),
+        (4, "tiny doc"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        got = {
+            r["doc_id"]: r
+            for r in spark.sql(q_dedup_ngram_spans(D("spark"))).collect()
+        }
+        assert got[1]["n_dup_grams"] == 3 and got[1]["dup_tokens"] == 10
+        assert got[2]["n_dup_grams"] == 3 and got[2]["dup_tokens"] == 10
+        assert got[3]["n_dup_grams"] == 0 and got[3]["dup_tokens"] == 0
+        assert got[4]["n_grams"] == 0 and got[4]["dup_tokens"] == 0
+        # keep verdict: 10/13 tokens covered > 0.30 threshold -> dropped
+        assert not got[1]["keep"] and got[3]["keep"]
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.conf.set("spark.ofv.registered_sf", "")
