@@ -1635,6 +1635,74 @@ FROM terms GROUP BY term
 ORDER BY n DESC, term LIMIT {k}"""
 
 
+def q_corpus_top_terms_cms(
+    d: D,
+    depth: int = 4,
+    width: int = 1024,
+    probes: tuple = (
+        "join", "hash", "scan", "customer", "vector", "merge", "window",
+        "zzz_absent_term",
+    ),
+) -> str:
+    """Count-min sketch term frequencies (Cormode & Muthukrishnan 2005) — the
+    bounded-memory heavy-hitter path `corpus_top_terms` names as the 10^12-token
+    swap, implemented for real: a depth x width counter matrix built from the
+    exploded token stream, probed for a fixed term set, with the exact counts
+    (computed only for the tiny probe list) alongside so the one-sided
+    overestimate guarantee (est >= exact, est <= exact + eN/width w.h.p.) is
+    visible in the output.
+
+    Scale story — this is why CMS beats groupBy(term) at 10^12 tokens: the
+    sketch groupBy keys on (row, bucket) with at most depth*width = {4*1024}
+    distinct keys, so map-side partial aggregation collapses every partition to
+    <= depth*width rows REGARDLESS of corpus size — the exchange is O(depth *
+    width * n_partitions), not O(distinct terms). The affine row hashes reuse
+    the MinHash coefficient family (functions/hashing.py), so both engines
+    build the bit-identical sketch — the oracle checks the sketch itself, not
+    just the estimates."""
+    from ..functions.hashing import MERSENNE_P, MINHASH_A, MINHASH_B
+
+    a = d.arr(MINHASH_A[:depth])
+    b = d.arr(MINHASH_B[:depth])
+    w = words_cte(d)
+    if d.spark:
+        terms_from = f"SELECT explode({w}) AS term FROM documents"
+        rows_from = "LATERAL VIEW explode(sequence(0, {})) AS j".format(depth - 1)
+        probe_rows = " UNION ALL ".join(f"SELECT '{p}' AS term" for p in probes)
+    else:
+        terms_from = f"SELECT unnest({w}) AS term FROM documents"
+        rows_from = f", (SELECT unnest(range(0, {depth})) AS j) rows"
+        probe_rows = " UNION ALL ".join(f"SELECT '{p}' AS term" for p in probes)
+    bucket = (
+        f"cast((({d.elem(a, 'j')} * h + {d.elem(b, 'j')}) % {MERSENNE_P}) % {width} as int)"
+    )
+    return f"""
+WITH toks AS (SELECT {d.h7('term')} AS h, term FROM ({terms_from}) t0),
+sketch AS (
+  SELECT cast(j as int) AS j, {bucket} AS bucket, {d.big('count(*)')} AS c
+  FROM toks {rows_from}
+  GROUP BY 1, 2
+),
+probes AS (SELECT term, {d.h7('term')} AS h FROM ({probe_rows}) p),
+probe_cells AS (
+  SELECT p.term, cast(j as int) AS j, {bucket} AS bucket
+  FROM probes p {rows_from}
+),
+est AS (
+  SELECT pc.term, min(coalesce(s.c, 0)) AS est
+  FROM probe_cells pc LEFT JOIN sketch s ON pc.j = s.j AND pc.bucket = s.bucket
+  GROUP BY pc.term
+),
+exact AS (
+  SELECT term, {d.big('count(*)')} AS exact
+  FROM ({terms_from}) t1 WHERE term IN ({", ".join(f"'{p}'" for p in probes)})
+  GROUP BY term
+)
+SELECT e.term, {d.big('e.est')} AS est, coalesce(x.exact, 0) AS exact,
+       (e.est >= coalesce(x.exact, 0)) AS overestimate_ok
+FROM est e LEFT JOIN exact x ON e.term = x.term"""
+
+
 # ======================================================================================
 # Telemetry analytics: funnel, cohort retention, anomaly flags, sliding rate
 # ======================================================================================

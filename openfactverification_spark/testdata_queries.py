@@ -67,6 +67,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_zorder_key": dual.q_events_zorder_key,
     "embed_kmeans_step": dual.q_embed_kmeans_step,
     "corpus_top_terms": dual.q_corpus_top_terms,
+    "corpus_top_terms_cms": dual.q_corpus_top_terms_cms,
     "events_funnel": dual.q_events_funnel,
     "events_retention": dual.q_events_retention,
     "events_anomaly_mad": dual.q_events_anomaly_mad,

@@ -55,3 +55,34 @@ def test_hll_sketch_merge_equals_global(spark):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct  # merge is lossless vs one-shot sketching
     assert abs(direct - exact) <= max(0.05 * exact, 2.0)
+
+
+def test_count_min_sketch_bounds_and_state(spark):
+    """CMS (corpus_top_terms_cms): every estimate is a one-sided overestimate
+    within the eN/width bound, and the sketch state is bounded by depth*width
+    regardless of corpus size (the whole point of the swap)."""
+    import math
+
+    from openfactverification_spark.operators.dual import D, q_corpus_top_terms_cms
+
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    d = D("spark")
+    depth, width = 4, 1024
+    rows = spark.sql(q_corpus_top_terms_cms(d, depth=depth, width=width)).collect()
+    n_tokens = spark.sql(
+        "SELECT sum(size(split(text, ' '))) AS n FROM documents"
+    ).first()["n"]
+    bound = math.e / width * n_tokens * 3  # 3x slack on the w.h.p. bound
+    assert len(rows) == 8
+    for r in rows:
+        assert r["est"] >= r["exact"], r
+        assert r["est"] - r["exact"] <= bound, r
+
+    # State bound: the sketch CTE itself can never exceed depth*width rows.
+    sketch_sql = q_corpus_top_terms_cms(d, depth=depth, width=width).split("probes AS")[0]
+    sketch_sql = sketch_sql.rsplit(",", 1)[0] + "\nSELECT count(*) AS n FROM sketch"
+    n_cells = spark.sql(sketch_sql).first()["n"]
+    assert n_cells <= depth * width
+    spark.conf.set("spark.ofv.registered_sf", "")
