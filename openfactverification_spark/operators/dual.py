@@ -1549,6 +1549,74 @@ SELECT {d.big('event_id')} AS event_id,
 FROM based"""
 
 
+def q_semantic_dedup(d: D, threshold: float = 0.40, n_cells: int | None = None) -> str:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster embeddings to IVF
+    cells, then drop near-duplicates WITHIN each cell — a vector is dropped if
+    a lower-id vector in the same cell has cosine >= threshold (keep-lowest-id,
+    one survivor per ε-similar pair, the paper's per-cluster policy).
+
+    Scale story — this is the production answer to `embed_dup_pairs`'s O(N^2):
+    the pairwise cosine runs only INSIDE a cell, so with cells sized ~sqrt(N)
+    (n_cells is the knob; centroids k-means-refined via q_embed_kmeans_step)
+    the total pair work is O(N^1.5), the within-cell join keys the shuffle on
+    cell_id, and assignment is a narrow codegen'd projection (literal-centroid
+    dots — the broadcast-join shape against a real centroid table). The
+    accepted tradeoff (as in the paper): near-dup pairs straddling a cell
+    boundary are missed; nprobe-style multi-assignment recovers them at extra
+    cost."""
+    n_cells = H.IVF_CELLS if n_cells is None else n_cells
+    cents = H.IVF_CENTROID_POOL[:n_cells]
+    dval_cols = ",\n         ".join(
+        f"{_dot_lit(d, 'embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('cell_id', {i}, 'cdot', d{i})" for i in range(n_cells)
+        )
+        assign_inner = (
+            "SELECT vec_id, embedding, nrm, cc.cell_id AS cell_id, cc.cdot AS cdot\n"
+            f"    FROM dvals LATERAL VIEW explode(array({structs})) t AS cc"
+        )
+    else:
+        assign_inner = "\n    UNION ALL\n    ".join(
+            f"SELECT vec_id, embedding, nrm, {i} AS cell_id, d{i} AS cdot FROM dvals"
+            for i in range(n_cells)
+        )
+    cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    return f"""
+WITH {cosine_cte(d)},
+dvals AS (
+  SELECT vec_id, embedding, nrm, {dval_cols}
+  FROM nv
+),
+assign AS (
+  SELECT vec_id, embedding, nrm, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS crank
+  FROM (
+    {assign_inner}
+  ) t
+),
+cellv AS (
+  SELECT vec_id, embedding, nrm, cell_id FROM assign WHERE crank = 1
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM cellv a JOIN cellv b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {cos} >= {threshold}
+),
+sizes AS (
+  SELECT cell_id, count(*) AS cell_n FROM cellv GROUP BY cell_id
+)
+SELECT {d.big('c.vec_id')} AS vec_id,
+       cast(c.cell_id as int) AS cell_id,
+       cast(s.cell_n as int) AS cell_n,
+       (dr.vec_id IS NULL) AS keep
+FROM cellv c
+JOIN sizes s ON c.cell_id = s.cell_id
+LEFT JOIN dropped dr ON c.vec_id = dr.vec_id"""
+
+
 def q_embed_kmeans_step(d: D, n_cells: int = 8) -> str:
     """One k-means refinement step for the IVF centroids — the missing half of
     q_embed_ivf_ann's scale story ('production: k-means-refined'): assign every

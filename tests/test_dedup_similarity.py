@@ -279,5 +279,32 @@ def test_ngram_span_interval_union_exact(spark):
         # keep verdict: 10/13 tokens covered > 0.30 threshold -> dropped
         assert not got[1]["keep"] and got[3]["keep"]
     finally:
-        spark.catalog.dropTempView("documents")
+        spark.read.parquet(table_path(SF, "documents")).createOrReplaceTempView(
+            "documents"
+        )
         spark.conf.set("spark.ofv.registered_sf", "")
+
+
+def test_semantic_dedup_drops_are_true_near_dups(spark):
+    """Every vector semantic_dedup drops has a genuine >=threshold cosine pair
+    with a lower id in the all-pairs baseline (precision 1.0 by construction);
+    misses are only cross-cell pairs (the documented SemDeDup tradeoff)."""
+    from openfactverification_spark.operators.dual import (
+        D,
+        q_embed_dup_pairs,
+        q_semantic_dedup,
+    )
+
+    d = D("spark")
+    sd = {r["vec_id"]: r for r in spark.sql(q_semantic_dedup(d)).collect()}
+    base_pairs = spark.sql(q_embed_dup_pairs(d)).collect()
+    baseline_dropped = {r["id_b"] for r in base_pairs}
+
+    dropped = {v for v, r in sd.items() if not r["keep"]}
+    assert dropped, "threshold/corpus should produce at least one drop"
+    assert dropped <= baseline_dropped  # no false drops
+    # every miss straddles cells: for missed b, no >=tau lower-id partner shares b's cell
+    cell = {v: r["cell_id"] for v, r in sd.items()}
+    for r in base_pairs:
+        if r["id_b"] not in dropped:
+            assert cell[r["id_a"]] != cell[r["id_b"]]
