@@ -1703,6 +1703,65 @@ FROM terms GROUP BY term
 ORDER BY n DESC, term LIMIT {k}"""
 
 
+def q_pagerank_trade(d: D, iters: int = 5, damping: float = 0.85) -> str:
+    """PageRank over the nation→nation trade graph (customer nation → supplier
+    nation, edge weight = lineitem count) — the iterative-algorithm family
+    (connected components being the other member, operators/components.py):
+    `iters` power-iteration steps unrolled as a CTE chain, exact standard
+    PageRank with dangling-mass redistribution expressed as explicit
+    uniform edges so each iteration references the previous rank relation
+    exactly ONCE (a second reference — e.g. a dangling-sum scalar subquery —
+    would double the inlined plan per level in Spark: 2^iters blowup).
+
+    Scale shape: one iteration = join(pr, edges on src) → groupBy(dst) — both
+    keyed on the node id, so a production run partitions edges once, persists
+    each iteration (checkpointing the lineage every few steps), and reuses the
+    partitioning across all iterations; the rank relation is O(nodes), the join
+    is co-partitioned. The dangling fan-out (u → all nodes) is materialized
+    only because this graph is 25 nodes — at web scale dangling mass is the
+    standard scalar aggregate folded into the teleport term (two passes per
+    iteration, no fan-out). Ranks are compared ROUNDED (6 dp) so cross-engine
+    float summation order can't flip the output."""
+    n = 25  # nation count (TPC-H fixed dimension)
+    edges = f"""edges0 AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, cast(count(*) as double) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY cn.n_name, sn.n_name
+),
+outw AS (SELECT src, sum(w) AS ow FROM edges0 GROUP BY src),
+nodes AS (SELECT n_name AS node FROM nation),
+edges AS (
+  SELECT e.src, e.dst, e.w / o.ow AS p
+  FROM edges0 e JOIN outw o ON e.src = o.src
+  UNION ALL
+  SELECT dn.node AS src, nd.node AS dst, 1.0 / {n} AS p
+  FROM nodes dn CROSS JOIN nodes nd
+  WHERE dn.node NOT IN (SELECT src FROM outw)
+),
+pr0 AS (SELECT node, 1.0 / {n} AS pr FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""pr{k} AS (
+  SELECT nd.node,
+         {(1 - damping) / n} + {damping} * coalesce(sum(p.pr * e.p), 0) AS pr
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN pr{k - 1} p ON p.node = e.src
+  GROUP BY nd.node
+)""")
+    chain = ",\n".join([edges] + steps)
+    return f"""
+WITH {chain}
+SELECT node, round(pr, 6) AS pagerank,
+       cast(row_number() OVER (ORDER BY round(pr, 6) DESC, node) as int) AS rnk
+FROM pr{iters}"""
+
+
 def q_corpus_top_terms_cms(
     d: D,
     depth: int = 4,

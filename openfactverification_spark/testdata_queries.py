@@ -69,6 +69,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "semantic_dedup": dual.q_semantic_dedup,
     "corpus_top_terms": dual.q_corpus_top_terms,
     "corpus_top_terms_cms": dual.q_corpus_top_terms_cms,
+    "pagerank_trade": dual.q_pagerank_trade,
     "events_funnel": dual.q_events_funnel,
     "events_retention": dual.q_events_retention,
     "events_anomaly_mad": dual.q_events_anomaly_mad,
