@@ -160,3 +160,61 @@ def stream_dedup(
     return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def claims_with_nearby_tools(
+    routed: DataFrame,
+    time_range: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each claim record matched to tool
+    invocations of the SAME conversation within ±`time_range` of the claim's
+    event time — the live "which tool produced this claim's evidence" trace
+    (the reference computes this correlation in-process across its concurrent
+    stages, /root/reference/factcheck/__init__.py:90-104; on an unbounded log
+    bus it becomes a two-stream join).
+
+    Both sides carry an event-time watermark AND the join predicate bounds
+    |tool_ts - claim_ts|, which is exactly what lets Spark expire join state:
+    per key, buffered rows older than watermark + range are dropped, so state
+    is bounded by the arrival rate inside the horizon — not by stream length.
+    The equi-key (conv_id) keys the shuffle on both sides; the range predicate
+    prunes within the co-partitioned groups. The same function is its own
+    batch twin (withWatermark is a no-op on bounded frames), which is how the
+    equivalence test pins the semantics."""
+    claims = (
+        routed.filter(F.col("record_kind") == "claim")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "claim_idx",
+            F.col("ts").alias("claim_ts"),
+        )
+        .withWatermark("claim_ts", watermark)
+    )
+    tools = (
+        routed.filter(F.col("record_kind") == "tool_call")
+        .select(
+            F.col("conv_id").alias("tool_conv_id"),
+            F.col("turn_idx").alias("tool_turn_idx"),
+            "tool_name",
+            "tool_status",
+            F.col("ts").alias("tool_ts"),
+        )
+        .withWatermark("tool_ts", watermark)
+    )
+    cond = F.expr(
+        "conv_id = tool_conv_id "
+        f"AND tool_ts >= claim_ts - interval {time_range} "
+        f"AND tool_ts <= claim_ts + interval {time_range}"
+    )
+    return claims.join(tools, cond, "inner").select(
+        "conv_id",
+        "turn_idx",
+        "claim_idx",
+        "tool_turn_idx",
+        "tool_name",
+        "tool_status",
+        "claim_ts",
+        "tool_ts",
+    )

@@ -108,3 +108,28 @@ def test_session_windows_match_lag_sessionization(spark, tmp_path):
         )
     )
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in lag_based.collect()}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream claim×tool interval join ≡ the same join run
+    in batch mode on the same input (inner join emits on match; the watermark
+    only bounds state, so bounded availableNow input yields the full result)."""
+    stream = _file_stream(spark, tmp_path)
+    joined_stream = spipe.claims_with_nearby_tools(spipe.stream_routed(spark, stream))
+    q = (
+        joined_stream.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {tuple(map(str, r)) for r in spark.table("ss_join").collect()}
+    batch_routed = build_pipeline(spark, transcripts_df(spark, N_TURNS)).routed
+    expected = {
+        tuple(map(str, r))
+        for r in spipe.claims_with_nearby_tools(batch_routed).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the corpus must actually produce matches
