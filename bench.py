@@ -58,6 +58,9 @@ TESTDATA_BENCH = [
     "events_scd2",  # gaps-and-islands, one exchange reused across windows
     "pack_sequences",  # mapInPandas greedy packer, narrow Arrow transfer
     "events_grok_parse",  # grok compile -> anchored extracts, scan-bound
+    "dedup_ngram_spans",  # hashed-gram shuffle + interval-union coverage
+    "semantic_dedup",  # IVF-cell clustering + within-cell cosine (O(N^1.5))
+    "corpus_top_terms_cms",  # count-min sketch: depth*width bounded exchange
 ]
 
 

@@ -1564,41 +1564,50 @@ def q_semantic_dedup(d: D, threshold: float = 0.40, n_cells: int | None = None) 
     dots — the broadcast-join shape against a real centroid table). The
     accepted tradeoff (as in the paper): near-dup pairs straddling a cell
     boundary are missed; nprobe-style multi-assignment recovers them at extra
-    cost."""
+    cost.
+
+    Plan note: assignment is argmax-as-array_position(darr, array_max(darr))
+    where darr = per-cell dots computed by HIGHER-ORDER functions over a
+    constant-folded literal centroid matrix — a ~100-node expression evaluated
+    as a loop, pure projection, zero shuffle. Two rejected shapes, both
+    measured here at sf0.1: explode + row_number(PARTITION BY vec_id) shuffles
+    every vector just to pick its own max; and any form built on the UNROLLED
+    n_cells x dim dot arithmetic (greatest/CASE chain, array() of unrolled
+    dots) — Catalyst's projection collapse duplicates the unrolled terms per
+    reference and the join/sort stages that inline them blow the 64KB codegen
+    method limit (interpreted fallback: 22s-to-minutes vs ~1s). The unrolled
+    form is right for ONE narrow pass (q_embed_ivf_ann's scan); inside a
+    multi-reference CTE the loop form wins. array_position takes the FIRST
+    occurrence, so ties break to the lowest cell_id identically in both
+    engines; per-cell sums are sequential left folds (d.fold_sum), bit-equal
+    across engines."""
     n_cells = H.IVF_CELLS if n_cells is None else n_cells
     cents = H.IVF_CENTROID_POOL[:n_cells]
-    dval_cols = ",\n         ".join(
-        f"{_dot_lit(d, 'embedding', c)} AS d{i}" for i, c in enumerate(cents)
+    centm = d.arr([d.arr(row) for row in cents])  # constant-folded literal matrix
+    dim = len(cents[0])
+    # darr[i] = dot(embedding, centm[i]) via an index-based lambda (identical
+    # element order in both engines; left-fold sum is bit-identical).
+    prod = (
+        f"cast({d.elem('embedding', 'j')} as double) * "
+        f"{d.elem(d.elem('cm', 'i'), 'j')}"
+    )
+    darr_expr = d.transform(
+        d.seq(0, n_cells - 1), "i", d.fold_sum(d.transform(d.seq(0, dim - 1), "j", prod))
     )
     if d.spark:
-        structs = ", ".join(
-            f"named_struct('cell_id', {i}, 'cdot', d{i})" for i in range(n_cells)
-        )
-        assign_inner = (
-            "SELECT vec_id, embedding, nrm, cc.cell_id AS cell_id, cc.cdot AS cdot\n"
-            f"    FROM dvals LATERAL VIEW explode(array({structs})) t AS cc"
-        )
+        argmax = "cast(array_position(darr, array_max(darr)) - 1 as int)"
     else:
-        assign_inner = "\n    UNION ALL\n    ".join(
-            f"SELECT vec_id, embedding, nrm, {i} AS cell_id, d{i} AS cdot FROM dvals"
-            for i in range(n_cells)
-        )
+        argmax = "cast(list_position(darr, list_max(darr)) - 1 as int)"
     cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
     return f"""
 WITH {cosine_cte(d)},
 dvals AS (
-  SELECT vec_id, embedding, nrm, {dval_cols}
-  FROM nv
-),
-assign AS (
-  SELECT vec_id, embedding, nrm, cell_id,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS crank
-  FROM (
-    {assign_inner}
-  ) t
+  SELECT vec_id, embedding, nrm, {darr_expr} AS darr
+  FROM (SELECT vec_id, embedding, nrm, {centm} AS cm FROM nv) w
 ),
 cellv AS (
-  SELECT vec_id, embedding, nrm, cell_id FROM assign WHERE crank = 1
+  SELECT vec_id, embedding, nrm, {argmax} AS cell_id
+  FROM dvals
 ),
 dropped AS (
   SELECT DISTINCT b.vec_id
@@ -1701,6 +1710,57 @@ WITH terms AS ({terms_from})
 SELECT term, {d.big('count(*)')} AS n
 FROM terms GROUP BY term
 ORDER BY n DESC, term LIMIT {k}"""
+
+
+def q_events_cdc_merge(d: D) -> str:
+    """CDC upsert — the Iceberg `MERGE INTO` shape every log pipeline needs for
+    late corrections (matched+D → delete, matched+U → update, unmatched+I →
+    insert; unmatched U/D are no-ops), applied with last-write-wins on the
+    change sequence when one key carries several ops (the %21 keys get U at
+    seq 1 then D at seq 2 — the delete must win). The changelog is derived
+    deterministically from the events table itself (inserts use negative keys
+    so they can never collide with base rows).
+
+    Scale shape: squash-to-latest is one row_number window keyed on event_id;
+    the apply is a single FULL OUTER join on the same key — one partitioning
+    serves both. A real changelog is ≪ base, so production broadcasts the
+    squashed changelog (or uses Iceberg merge-on-read deletes and lets
+    compaction fold them); the full-outer form here is the engine-agnostic
+    spec both engines can check."""
+    stype = "string" if d.spark else "varchar"
+    return f"""
+WITH changes AS (
+  SELECT event_id, 1 AS seq, 'U' AS op, value + 100 AS new_value, event_type AS new_type
+  FROM events WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id, 2 AS seq, 'D' AS op, cast(NULL as double) AS new_value,
+         cast(NULL as {stype}) AS new_type
+  FROM events WHERE event_id % 21 = 0
+  UNION ALL
+  SELECT -event_id - 1 AS event_id, 1 AS seq, 'I' AS op, value AS new_value,
+         event_type AS new_type
+  FROM events WHERE event_id % 11 = 0
+),
+latest AS (
+  SELECT event_id, op, new_value, new_type FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY event_id ORDER BY seq DESC) AS rn
+    FROM changes c
+  ) t WHERE rn = 1
+),
+merged AS (
+  SELECT coalesce(l.event_id, b.event_id) AS event_id,
+         CASE WHEN l.op IN ('U', 'I') THEN l.new_value ELSE b.value END AS value,
+         CASE WHEN l.op IN ('U', 'I') THEN l.new_type ELSE b.event_type END AS event_type,
+         CASE WHEN l.op IS NULL THEN 'unchanged'
+              WHEN l.op = 'U' THEN 'updated'
+              ELSE 'inserted' END AS merge_action
+  FROM events b FULL OUTER JOIN latest l ON b.event_id = l.event_id
+  WHERE NOT coalesce(l.op = 'D', false)
+    AND NOT (b.event_id IS NULL AND l.op <> 'I')
+)
+SELECT {d.big('event_id')} AS event_id, round(value, 2) AS value,
+       event_type, merge_action
+FROM merged"""
 
 
 def q_pagerank_trade(d: D, iters: int = 5, damping: float = 0.85) -> str:
