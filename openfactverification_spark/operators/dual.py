@@ -1318,20 +1318,26 @@ def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
       * the interval-union window partitions by doc_id and is bounded by doc
         length — no global window, no skew beyond the longest single doc.
     28-bit gram-hash collisions can mark a false duplicate; production uses the
-    same plan over a 64-bit hash (the narrow column width is what matters)."""
+    same plan over a 64-bit hash (the narrow column width is what matters).
+
+    The word array is staged as a COLUMN before the gram lambda: lambda bodies
+    get no common-subexpression elimination, so referencing split(text) inside
+    the transform would re-split the whole document once per gram — O(len *
+    n_grams) per doc (measured ~2x on this corpus; far worse on long docs)."""
     w = words_cte(d)
     garr = d.transform(
-        d.seq(0, f"{d.alen(w)} - {n}"), "i", d.h7(d.ajoin(d.aslice(w, "i", n)))
+        d.seq(0, f"{d.alen('w')} - {n}"), "i", d.h7(d.ajoin(d.aslice("w", "i", n)))
     )
+    staged = f"SELECT doc_id, {w} AS w FROM documents"
     if d.spark:
         grams_from = (
-            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM documents "
-            f"WHERE {d.alen(w)} >= {n}) LATERAL VIEW posexplode(garr) AS pos, gh"
+            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s "
+            f"WHERE size(w) >= {n}) LATERAL VIEW posexplode(garr) AS pos, gh"
         )
     else:
         grams_from = (
             f"SELECT doc_id, CAST(unnest(range(0, len(garr))) AS INT) AS pos, unnest(garr) AS gh "
-            f"FROM (SELECT doc_id, {garr} AS garr FROM documents WHERE {d.alen(w)} >= {n}) t"
+            f"FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s WHERE len(w) >= {n}) t"
         )
     prev_end = (
         f"max(pos + {n}) OVER (PARTITION BY doc_id ORDER BY pos "
