@@ -280,6 +280,42 @@ def q_pipeline_tool_last_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-tuning pair extraction — the terminal product of a
+    transcript training-data pipeline: each user turn paired with the next
+    assistant turn of the same conversation (tool turns excluded), with token
+    counts and a minimum-length keep gate.
+
+    Scale shape: ONE window per conversation (lead over the role-filtered
+    frame, ordered by turn_idx — the stable-turn-order contract from
+    BASELINE.json) and nothing else; the filter prunes before the exchange, so
+    the shuffle carries only user/assistant rows. Mega-conversation skew rides
+    the same salted-window machinery as every per-conv window
+    (operators/skew.py)."""
+    from pyspark.sql.window import Window
+
+    t = transcripts_df(spark, ORACLE_N_TURNS)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ua = t.filter(F.col("role").isin("user", "assistant"))
+    paired = (
+        ua.withColumn("next_role", F.lead("role").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .withColumn("next_turn_idx", F.lead("turn_idx").over(w))
+        .filter((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+    )
+    ntok = lambda c: F.size(F.split(F.col(c), " "))  # noqa: E731
+    return paired.select(
+        "conv_id",
+        "turn_idx",
+        F.col("next_turn_idx").cast("int").alias("response_turn_idx"),
+        F.col("text").alias("prompt"),
+        F.col("next_text").alias("response"),
+        ntok("text").cast("int").alias("prompt_tokens"),
+        ntok("next_text").cast("int").alias("response_tokens"),
+        ((ntok("text") >= 3) & (ntok("next_text") >= 3)).alias("keep"),
+    )
+
+
 def q_pipeline_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline with the PII scrub as stage 0 (operators/scrub.py):
     deterministic PII is planted into the synthetic turns, scrubbed pre-parse,
@@ -324,6 +360,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_evidence_union": q_pipeline_evidence_union,
     "pipeline_tool_last_status": q_pipeline_tool_last_status,
     "pipeline_pii_scrubbed": q_pipeline_pii_scrubbed,
+    "pipeline_training_pairs": q_pipeline_training_pairs,
 }
 
 

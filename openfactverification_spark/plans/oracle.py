@@ -365,6 +365,25 @@ SELECT conv_id, tool_name,
 FROM routed WHERE record_kind = 'tool_call'
 GROUP BY conv_id, tool_name""",
         "pipeline_pii_scrubbed": _pii_scrubbed_sql(n_turns),
+        "pipeline_training_pairs": f"""{ctes},
+ua AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER w AS next_role,
+         lead(text) OVER w AS next_text,
+         lead(turn_idx) OVER w AS next_turn_idx
+  FROM transcripts
+  WHERE role IN ('user', 'assistant')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, turn_idx,
+       CAST(next_turn_idx AS INT) AS response_turn_idx,
+       text AS prompt,
+       next_text AS response,
+       CAST(len(string_split(text, ' ')) AS INT) AS prompt_tokens,
+       CAST(len(string_split(next_text, ' ')) AS INT) AS response_tokens,
+       (len(string_split(text, ' ')) >= 3
+        AND len(string_split(next_text, ' ')) >= 3) AS keep
+FROM ua WHERE role = 'user' AND next_role = 'assistant'""",
     }
 
 
