@@ -111,6 +111,13 @@ class D:
             return f"regexp_replace({col}, '{pat}', '{repl}')"
         return f"regexp_replace({col}, '{pat}', '{repl}', 'g')"
 
+    def last_ignore_nulls(self, col) -> str:
+        """last_value ignoring nulls, for windowed carry-forward (the IGNORE
+        NULLS clause sits in different spots in the two grammars)."""
+        if self.spark:
+            return f"last_value({col}) IGNORE NULLS"
+        return f"last_value({col} IGNORE NULLS)"
+
 
 # ======================================================================================
 # Text / dedup building blocks
@@ -1716,6 +1723,40 @@ WITH terms AS ({terms_from})
 SELECT term, {d.big('count(*)')} AS n
 FROM terms GROUP BY term
 ORDER BY n DESC, term LIMIT {k}"""
+
+
+def q_events_asof_value(d: D) -> str:
+    """Two-table as-of join (backward, inclusive): each error event carries the
+    VALUE of the same user's most recent view event at-or-before it — the
+    general temporal-lookup operator (operators/asof.py is the DataFrame
+    form + a cogroup/merge_asof twin; events_error_gap is the same-table
+    gap-seconds special case).
+
+    Scale shape: union-tag + ONE window — one exchange on user_id, one sort by
+    (ts, side, id), constant frame state (the single carried payload). Right
+    rows order before left rows at equal ts (is_left 0 < 1) ⇒ inclusive match.
+    Never a range join, never per-key buffering of whole groups — the shape
+    that survives mega-user skew via the standard salted-window machinery."""
+    w = (
+        "OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_left, cast(NULL as double) AS payload
+  FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS is_left, value AS payload
+  FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT user_id, ts, event_id, is_left,
+         {d.last_ignore_nulls('payload')} {w} AS asof_value
+  FROM tagged
+)
+SELECT {d.big('event_id')} AS event_id, {d.big('user_id')} AS user_id,
+       round(asof_value, 2) AS asof_value
+FROM j WHERE is_left = 1"""
 
 
 def q_events_cdc_merge(d: D) -> str:

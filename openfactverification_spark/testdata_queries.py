@@ -71,6 +71,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "corpus_top_terms_cms": dual.q_corpus_top_terms_cms,
     "pagerank_trade": dual.q_pagerank_trade,
     "events_cdc_merge": dual.q_events_cdc_merge,
+    "events_asof_value": dual.q_events_asof_value,
     "events_funnel": dual.q_events_funnel,
     "events_retention": dual.q_events_retention,
     "events_anomaly_mad": dual.q_events_anomaly_mad,
