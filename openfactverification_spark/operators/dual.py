@@ -526,6 +526,42 @@ SELECT lang,
 FROM gated GROUP BY lang"""
 
 
+def q_sample_quality_weighted(d: D, floor: float = 0.10, ceil: float = 0.95) -> str:
+    """Per-document quality-weighted sampling — the continuous data-mixing
+    knob (DoReMi/quality-classifier-style up/down-weighting) next to the
+    per-stratum rates of q_sample_stratified: each doc's keep probability is
+    its own quality weight w ∈ [floor, ceil] (here a length-based proxy:
+    longer docs up to 80 tokens are worth more), and the keep decision is
+    hash-gated (h7(text) < w·2^28) — NO rand(), so the sampled set is
+    byte-reproducible across runs, engines, and parallelism levels, and a
+    resumed pipeline re-derives the identical mixture.
+
+    Scale shape: pure projection + one tiny aggregate — the gate rides the
+    scan; at 10^12 docs re-weighting the whole corpus costs one IO pass.
+    Output: per weight-decile counts + kept-id checksum (membership, not just
+    volume) + the realized rate so mix calibration is auditable."""
+    h = d.h7("text")
+    denom = 1 << 28
+    ntok = f"{d.alen(d.split_ws('text'))}"
+    w = f"least({ceil}, greatest({floor}, cast({ntok} as double) / 80))"
+    return f"""
+WITH gated AS (
+  SELECT doc_id,
+         round({w}, 6) AS weight,
+         cast(floor({w} * 10) as int) AS decile,
+         ({h} < cast({w} * {denom} as bigint)) AS kept
+  FROM documents
+)
+SELECT decile,
+       {d.big('count(*)')} AS n_total,
+       {d.big('sum(CASE WHEN kept THEN 1 ELSE 0 END)')} AS n_kept,
+       {d.big('sum(CASE WHEN kept THEN doc_id ELSE 0 END)')} AS kept_id_sum,
+       round(avg(weight), 6) AS avg_weight,
+       round(cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) as double) / count(*), 6)
+         AS realized_rate
+FROM gated GROUP BY decile"""
+
+
 def q_doc_fingerprint(d: D, n: int = 4) -> str:
     """Rolling-hash document fingerprint: min/max shingle hash + distinct-shingle
     count (winnowing-style content signature)."""

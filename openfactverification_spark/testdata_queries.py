@@ -35,6 +35,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "doc_fingerprint": dual.q_doc_fingerprint,
     "training_ready": dual.q_training_ready,
     "sample_stratified": dual.q_sample_stratified,
+    "sample_quality_weighted": dual.q_sample_quality_weighted,
     "text_stats": dual.q_text_stats,
     "clean_text": dual.q_clean_text,
     "text_lang_id": dual.q_lang_id,
