@@ -116,3 +116,50 @@ def test_sketch_runners_materialize_once(spark):
     for name, expected_refs in [("dedup_minhash_lsh", 5), ("dedup_simhash_banded", 2)]:
         plan = _plan(TESTDATA_QUERIES[name](spark, SF_DIR))
         assert plan.count("InMemoryTableScan") >= expected_refs, name
+
+
+def test_asof_join_plan_is_one_window_no_join(spark):
+    """The union+window as-of join must plan NO join operator at all — one
+    exchange on the by-key, one sort, one Window (the property that makes it
+    immune to range-join blowup)."""
+    from pyspark.sql import functions as F
+
+    from openfactverification_spark.operators import asof
+
+    ev = spark.read.parquet(table_path(SF_DIR, "events"))
+    left = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    plan = _plan(asof.asof_join(left, right))
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct"):
+        assert op not in plan, op
+    assert plan.count("Window") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_assignment_is_projection(spark):
+    """Cell assignment must be a pure projection: no Window, no Generate, and
+    no cartesian/nested-loop anywhere in the whole query."""
+    from openfactverification_spark.operators.dual import D, q_semantic_dedup
+
+    spark.read.parquet(table_path(SF_DIR, "embeddings")).createOrReplaceTempView(
+        "embeddings"
+    )
+    plan = _plan(spark.sql(q_semantic_dedup(D("spark"))))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    spark.conf.set("spark.ofv.registered_sf", "")
+
+
+def test_cms_sketch_aggregates_map_side(spark):
+    """The count-min groupBy must plan a partial (map-side) aggregate — the
+    bounded-exchange property the sketch exists for."""
+    from openfactverification_spark.operators.dual import D, q_corpus_top_terms_cms
+
+    spark.read.parquet(table_path(SF_DIR, "documents")).createOrReplaceTempView(
+        "documents"
+    )
+    plan = _plan(spark.sql(q_corpus_top_terms_cms(D("spark"))))
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    spark.conf.set("spark.ofv.registered_sf", "")
