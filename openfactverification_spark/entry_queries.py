@@ -316,6 +316,41 @@ def q_pipeline_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_conv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation flattening — transcripts to one document per conversation
+    (ordered turns joined role-tagged), the step that feeds every doc-level
+    operator (dedup, quality gates, packing) when the training unit is the
+    whole dialog. Emits the flattened text's length/token stats plus an md5
+    fingerprint for downstream exact dedup.
+
+    Scale shape: one groupBy(conv_id) with map-side partial collect; ordering
+    inside the turn list is explicit (array_sort on (turn_idx, ...) struct —
+    the stable-turn-order contract), never an orderBy before the groupBy
+    (which would add a global sort exchange and still not guarantee per-group
+    order)."""
+    t = transcripts_df(spark, ORACLE_N_TURNS)
+    tagged = t.select(
+        "conv_id",
+        F.struct(F.col("turn_idx"), F.concat_ws(": ", "role", "text").alias("line")).alias(
+            "tl"
+        ),
+    )
+    return (
+        tagged.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list("tl")).alias("tls"))
+        .select(
+            "conv_id",
+            F.array_join(F.expr("transform(tls, x -> x.line)"), "\n").alias("doc"),
+        )
+        .select(
+            "conv_id",
+            F.length("doc").cast("int").alias("n_chars"),
+            F.size(F.split("doc", " ")).cast("int").alias("n_tokens"),
+            F.md5("doc").alias("fingerprint"),
+        )
+    )
+
+
 def q_pipeline_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline with the PII scrub as stage 0 (operators/scrub.py):
     deterministic PII is planted into the synthetic turns, scrubbed pre-parse,
@@ -361,6 +396,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_tool_last_status": q_pipeline_tool_last_status,
     "pipeline_pii_scrubbed": q_pipeline_pii_scrubbed,
     "pipeline_training_pairs": q_pipeline_training_pairs,
+    "pipeline_conv_docs": q_pipeline_conv_docs,
 }
 
 

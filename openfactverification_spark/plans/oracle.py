@@ -384,6 +384,17 @@ SELECT conv_id, turn_idx,
        (len(string_split(text, ' ')) >= 3
         AND len(string_split(next_text, ' ')) >= 3) AS keep
 FROM ua WHERE role = 'user' AND next_role = 'assistant'""",
+        "pipeline_conv_docs": f"""{ctes},
+docs AS (
+  SELECT conv_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+  FROM transcripts GROUP BY conv_id
+)
+SELECT conv_id,
+       CAST(length(doc) AS INT) AS n_chars,
+       CAST(len(string_split(doc, ' ')) AS INT) AS n_tokens,
+       md5(doc) AS fingerprint
+FROM docs""",
     }
 
 
