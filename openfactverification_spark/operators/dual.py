@@ -1761,6 +1761,97 @@ FROM terms GROUP BY term
 ORDER BY n DESC, term LIMIT {k}"""
 
 
+def q_events_histogram(d: D, n_buckets: int = 10) -> str:
+    """Equi-width value histogram per event type over the global [min, max]
+    envelope — the profiling primitive behind every distribution dashboard.
+    Two aggregates only: one tiny global-envelope scan (scalar broadcast),
+    one groupBy((type, bucket)) with map-side combine, so the exchange carries
+    at most types × buckets rows regardless of N. Bucket arithmetic is plain
+    floor() math (DuckDB has no width_bucket; the explicit form is
+    engine-identical), top edge clamped into the last bucket."""
+    bucket = (
+        f"cast(least({n_buckets - 1}, greatest(0, "
+        f"floor((value - (SELECT lo FROM env)) / (SELECT w FROM env)))) as int)"
+    )
+    return f"""
+WITH env AS (
+  SELECT min(value) AS lo,
+         (max(value) - min(value)) / {n_buckets} AS w
+  FROM events
+)
+SELECT event_type,
+       {bucket} AS bucket,
+       round((SELECT lo FROM env) + {bucket} * (SELECT w FROM env), 6) AS bucket_lo,
+       {d.big('count(*)')} AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY event_type, {bucket}"""
+
+
+def q_events_winsorize(d: D, p_lo: float = 0.05, p_hi: float = 0.95) -> str:
+    """Winsorization (robust feature clipping): per event type, clip values to
+    the exact [p05, p95] band — the standard tail-taming transform before any
+    scale-sensitive model feature. Two passes: a tiny per-type percentile
+    aggregate (exact `percentile` ≡ `quantile_cont`, bitwise-equal doubles —
+    the q_events_value_percentiles anchor), broadcast-joined back onto the
+    stream for the clip; output audits how much mass each tail lost."""
+    fn = "percentile" if d.spark else "quantile_cont"
+    clip = "least(b.hi, greatest(b.lo, e.value))"
+    return f"""
+WITH bounds AS (
+  SELECT event_type,
+         {fn}(value, {p_lo}) AS lo,
+         {fn}(value, {p_hi}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       {d.big('count(*)')} AS n,
+       {d.big(f'sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)')} AS n_clipped_lo,
+       {d.big(f'sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)')} AS n_clipped_hi,
+       round(avg(e.value), 6) AS avg_raw,
+       round(avg({clip}), 6) AS avg_winsorized,
+       round(any_value(b.lo), 6) AS p_lo,
+       round(any_value(b.hi), 6) AS p_hi
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY e.event_type"""
+
+
+def q_text_token_entropy(d: D, min_bits: float = 3.0) -> str:
+    """Token-distribution Shannon entropy per document — the
+    information-density quality signal (low entropy = repetitive/boilerplate;
+    complements the Gopher top-gram fractions of q_quality_repetition).
+    H = log2(n) - sum(c*log2(c))/n via one explode → groupBy(doc, token) →
+    per-doc aggregate; token term counts are computed on the hashed token
+    (h7) so the shuffle carries fixed-width ints, exactly as in
+    q_quality_repetition. Also emits the normalized ratio H/log2(distinct)
+    (1.0 = perfectly even) and the keep gate at `min_bits`."""
+    w = words_cte(d)
+    if d.spark:
+        toks_from = f"SELECT doc_id, explode({w}) AS tok FROM documents"
+    else:
+        toks_from = f"SELECT doc_id, unnest({w}) AS tok FROM documents"
+    return f"""
+WITH toks AS ({toks_from}),
+tf AS (
+  SELECT doc_id, {d.h7('tok')} AS th, cast(count(*) as double) AS c
+  FROM toks GROUP BY doc_id, {d.h7('tok')}
+),
+perdoc AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS n_distinct,
+         sum(c * ln(c)) AS clnc
+  FROM tf GROUP BY doc_id
+)
+SELECT {d.big('doc_id')} AS doc_id,
+       cast(n as int) AS n_tokens,
+       cast(n_distinct as int) AS n_distinct,
+       round((ln(n) - clnc / n) / ln(2), 6) AS entropy_bits,
+       round(CASE WHEN n_distinct > 1
+                  THEN (ln(n) - clnc / n) / ln(cast(n_distinct as double)) END, 6)
+         AS evenness,
+       ((ln(n) - clnc / n) / ln(2) >= {min_bits}) AS keep
+FROM perdoc"""
+
+
 def q_events_asof_value(d: D) -> str:
     """Two-table as-of join (backward, inclusive): each error event carries the
     VALUE of the same user's most recent view event at-or-before it — the

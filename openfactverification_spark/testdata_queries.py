@@ -73,6 +73,9 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "pagerank_trade": dual.q_pagerank_trade,
     "events_cdc_merge": dual.q_events_cdc_merge,
     "events_asof_value": dual.q_events_asof_value,
+    "events_histogram": dual.q_events_histogram,
+    "events_winsorize": dual.q_events_winsorize,
+    "text_token_entropy": dual.q_text_token_entropy,
     "events_funnel": dual.q_events_funnel,
     "events_retention": dual.q_events_retention,
     "events_anomaly_mad": dual.q_events_anomaly_mad,
