@@ -51,9 +51,12 @@ def asof_join(
     )
     # unionByName fills left-only columns with nulls on the right side
     u = lt.unionByName(rt, allowMissingColumns=True)
+    # `_payload` as the final sort key pins the tie among right rows sharing
+    # one timestamp (last = max payload) — without it the carried value is
+    # whichever duplicate happens to sort last, i.e. nondeterministic.
     w = (
         Window.partitionBy(by)
-        .orderBy(on, "_side")
+        .orderBy(on, "_side", "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -85,7 +88,10 @@ def asof_join_pandas(
         if lpdf.empty:
             return pd.DataFrame(columns=lcols + [out_col])
         lpdf = lpdf.sort_values(on, kind="mergesort")
-        r = rpdf[[on, payload]].sort_values(on, kind="mergesort")
+        # secondary sort on payload: merge_asof takes the positionally-last
+        # right row at an equal timestamp, so this matches the window form's
+        # (on, side, payload) tie-break exactly
+        r = rpdf[[on, payload]].sort_values([on, payload], kind="mergesort")
         merged = pd.merge_asof(
             lpdf, r.rename(columns={payload: out_col}), on=on, direction="backward"
         )

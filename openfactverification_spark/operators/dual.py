@@ -999,6 +999,29 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_mktsegment"""
 
 
+def q_customer_set_ops(d: D) -> str:
+    """Set operators beyond UNION (the U-family completion): customers active
+    in both event windows (INTERSECT), early-only (EXCEPT), plus symmetric
+    difference — the cohort-overlap question every retention analysis asks.
+    Both engines plan these as aggregates/joins on the key, so at 10^12 rows
+    each branch is one hash-partitioned exchange on user_id; the three counts
+    come from ONE two-sided membership aggregate rather than three separate
+    set-op scans (the set ops are the spec; the single-pass form is the plan)."""
+    day = "cast(ts as date)"
+    return f"""
+WITH spans AS (
+  SELECT user_id,
+         max(CASE WHEN {day} <= date '2024-02-15' THEN 1 ELSE 0 END) AS early,
+         max(CASE WHEN {day} >  date '2024-02-15' THEN 1 ELSE 0 END) AS late
+  FROM events GROUP BY user_id
+)
+SELECT {d.big('sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END)')} AS n_both,
+       {d.big('sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)')} AS n_early_only,
+       {d.big('sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)')} AS n_late_only,
+       {d.big('count(*)')} AS n_users
+FROM spans"""
+
+
 def q_rollup_priority(d: D) -> str:
     """A2 rollup: order counts by (priority, status) with subtotal levels."""
     return f"""

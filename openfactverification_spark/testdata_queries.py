@@ -52,6 +52,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "semi_join_returned": dual.q_semi_join_returned,
     "anti_join_idle_customers": dual.q_anti_join_idle_customers,
     "rollup_priority": dual.q_rollup_priority,
+    "customer_set_ops": dual.q_customer_set_ops,
     "events_daily_route": dual.q_events_daily_route,
     "events_json_k": dual.q_events_json_k,
     "events_sessionize": dual.q_events_sessionize,

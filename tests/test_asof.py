@@ -50,3 +50,35 @@ def test_asof_inclusive_tie_and_no_match(spark):
         for r in asof.asof_join_pandas(left, right).collect()
     }
     assert got_p == got
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ROWS = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 20)), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_ROWS, _ROWS)
+def test_asof_property_window_equals_merge_asof(spark, lrows, rrows):
+    """Randomized by/ts mixes (duplicate timestamps, empty sides, keys present
+    on only one side): the two as-of formulations must always agree."""
+    left = spark.createDataFrame(
+        [(u, t, i) for i, (u, t) in enumerate(lrows)] or [(99, 0, 0)],
+        "user_id long, ts long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [(u, t, float(i)) for i, (u, t) in enumerate(rrows)] or [(98, 0, 0.0)],
+        "user_id long, ts long, value double",
+    )
+    a = {
+        (r["event_id"], r["asof_value"])
+        for r in asof.asof_join(left, right).collect()
+    }
+    b = {
+        (r["event_id"], r["asof_value"])
+        for r in asof.asof_join_pandas(left, right).collect()
+    }
+    assert a == b

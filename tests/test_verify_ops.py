@@ -111,3 +111,21 @@ def test_passage_selection_no_overlap_and_cap(spark):
     for i, (s1, e1) in enumerate(ivs):
         for s2, e2 in ivs[i + 1 :]:
             assert e1 <= s2 or e2 <= s1  # disjoint
+
+
+def test_set_ops_formulation_equivalence(spark):
+    """customer_set_ops' single-pass membership aggregate must equal the
+    literal INTERSECT / EXCEPT set-operator formulation (spec vs plan)."""
+    from openfactverification_spark.operators.dual import D, q_customer_set_ops
+    from openfactverification_spark.sources.tables import table_path
+
+    spark.read.parquet(table_path("/root/testdata/sf0.01", "events")).createOrReplaceTempView("events")
+    row = spark.sql(q_customer_set_ops(D("spark"))).first()
+    early = "SELECT DISTINCT user_id FROM events WHERE cast(ts as date) <= date '2024-02-15'"
+    late = "SELECT DISTINCT user_id FROM events WHERE cast(ts as date) > date '2024-02-15'"
+    n_both = spark.sql(f"SELECT count(*) n FROM (({early}) INTERSECT ({late}))").first()["n"]
+    n_early_only = spark.sql(f"SELECT count(*) n FROM (({early}) EXCEPT ({late}))").first()["n"]
+    assert row["n_both"] == n_both
+    assert row["n_early_only"] == n_early_only
+    assert row["n_users"] == row["n_both"] + row["n_early_only"] + row["n_late_only"]
+    spark.conf.set("spark.ofv.registered_sf", "")
