@@ -1377,10 +1377,13 @@ def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
 
     Scale notes for 10^12 docs:
       * grams are hashed (h7) INSIDE the per-row transform, so the explode and
-        the groupBy exchange carry a fixed-width int, never the n-word string;
-      * "appears in >1 doc" is min(doc_id) <> max(doc_id) — two cheap partial
-        aggregates with map-side combine, NOT count(distinct doc_id) (which
-        would keep a per-gram hash set alive through the shuffle);
+        the exchange carry a fixed-width int, never the n-word string;
+      * "appears in >1 doc" is min/max(doc_id) OVER (PARTITION BY gh) — a
+        single pass over the gram stream (the earlier groupBy-then-join-back
+        form computed the gram explode twice AND needed the duplicated-gram
+        set to broadcast, an assumption that dies at corpus scale where the
+        dup set is itself huge); constant per-gram window state, never
+        count(distinct);
       * the interval-union window partitions by doc_id and is bounded by doc
         length — no global window, no skew beyond the longest single doc.
     28-bit gram-hash collisions can mark a false duplicate; production uses the
@@ -1411,11 +1414,14 @@ def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
     )
     return f"""
 WITH grams AS ({grams_from}),
-dupg AS (
-  SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+flagged AS (
+  SELECT doc_id, pos,
+         min(doc_id) OVER (PARTITION BY gh) AS mn,
+         max(doc_id) OVER (PARTITION BY gh) AS mx
+  FROM grams
 ),
 hits AS (
-  SELECT g.doc_id, g.pos FROM grams g JOIN dupg USING (gh)
+  SELECT doc_id, pos FROM flagged WHERE mn <> mx
 ),
 clipped AS (
   SELECT doc_id, pos, greatest(pos, coalesce({prev_end}, 0)) AS clip_start
