@@ -61,6 +61,7 @@ TESTDATA_BENCH = [
     "dedup_ngram_spans",  # hashed-gram shuffle + interval-union coverage
     "semantic_dedup",  # IVF-cell clustering + within-cell cosine (O(N^1.5))
     "corpus_top_terms_cms",  # count-min sketch: depth*width bounded exchange
+    "embed_neardup_planted_lsh",  # LSH in its real regime: p=8 x L=4, ~linear candidates
 ]
 
 

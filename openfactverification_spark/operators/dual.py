@@ -862,6 +862,87 @@ JOIN nv b ON b.vec_id = cand.id_b
 WHERE {cos} >= {threshold}"""
 
 
+def q_embed_neardup_planted_lsh(
+    d: D,
+    threshold: float = 0.98,
+    planes_per_table: int = 8,
+    n_tables: int = 4,
+    bump: float = 1.05,
+) -> str:
+    """Multi-table LSH near-dup detection in the REGIME IT IS BUILT FOR:
+    cosine >= 0.98 true near-duplicates. The fixture embeddings are random
+    (hardest case — q_embed_dup_pairs_lsh at threshold 0.40 documents that
+    there LSH candidates approach all-pairs), so this query PLANTS a
+    deterministic near-exact twin for every vector (one coordinate scaled by
+    `bump` → cosine ≈ 0.999) and runs the same bucketed machinery with
+    production parameters: p=8 planes/table (256 buckets) x L=4 tables.
+
+    Per-pair table-collision probability at cosine c is (1 - θ/π)^p with
+    θ = acos(c): ≈ 0.97^8·... ≈ 1 for the planted twins, ≈ (0.5)^8 = 0.004
+    for random pairs — candidate volume stays ~N·(N/256)·L/2 pre-verify and
+    the verified output is exactly the planted pair set. THIS is the scale
+    behavior (candidates ~linear at fixed bucket population) the
+    threshold-0.40 variant cannot show on random data; both stay registered."""
+    tables = H.lsh_tables(n_tables, planes_per_table)
+    pert = d.transform(
+        d.seq(0, H.EMBED_DIM - 1),
+        "i",
+        f"cast({d.elem('embedding', 'i')} as double)"
+        f" * (CASE WHEN i = 0 THEN {bump} ELSE 1.0 END)",
+    )
+    cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    # loop-form buckets: 8 planes/table unrolled would be 512 terms per
+    # column — past the 64KB codegen limit once inlined into the explode/sort
+    # stages (see lsh_bucket_loop_expr).
+    bval_cols = ",\n         ".join(
+        f"{lsh_bucket_loop_expr(d, pl)} AS b{t}" for t, pl in enumerate(tables)
+    )
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('tbl', {t}, 'bucket', b{t})" for t in range(len(tables))
+        )
+        buckets_sql = (
+            "SELECT vec_id, bb.tbl AS tbl, bb.bucket AS bucket\n"
+            f"  FROM bvals LATERAL VIEW explode(array({structs})) t AS bb"
+        )
+    else:
+        buckets_sql = "\n  UNION ALL\n  ".join(
+            f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bvals"
+            for t in range(len(tables))
+        )
+    return f"""
+WITH all0 AS (
+  SELECT vec_id, {d.transform('embedding', 'x', 'cast(x as double)')} AS embedding
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {pert} AS embedding FROM embeddings
+),
+nv AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot(d, 'embedding', 'embedding')}) AS nrm
+  FROM all0
+),
+bvals AS (
+  SELECT vec_id, {bval_cols}
+  FROM nv
+),
+buckets AS (
+  {buckets_sql}
+),
+cand AS (
+  SELECT DISTINCT qa.vec_id AS id_a, qb.vec_id AS id_b
+  FROM buckets qa JOIN buckets qb
+    ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
+)
+SELECT {d.big('a.vec_id')} AS id_a, {d.big('b.vec_id')} AS id_b,
+       round({cos}, 6) AS cosine,
+       (cand.id_b = cand.id_a + 1000000) AS is_planted
+FROM cand
+JOIN nv a ON a.vec_id = cand.id_a
+JOIN nv b ON b.vec_id = cand.id_b
+WHERE {cos} >= {threshold}"""
+
+
 def lsh_bucket_expr(d: D, emb: str = "embedding", planes: list | None = None) -> str:
     """Random-hyperplane LSH bucket id: sign bit per plane -> int.
 
@@ -875,6 +956,31 @@ def lsh_bucket_expr(d: D, emb: str = "embedding", planes: list | None = None) ->
         dot = _dot_lit(d, emb, plane)
         bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def lsh_bucket_loop_expr(d: D, planes: list, emb: str = "embedding") -> str:
+    """Same sign-bit bucket id as lsh_bucket_expr, loop form: higher-order
+    folds over a constant-folded (planes x dim) literal matrix. Use this
+    instead of the unrolled form whenever planes-per-table is large or the
+    bucket feeds multi-consumer CTEs — the unrolled arithmetic (p x dim terms
+    per column) blows the 64KB codegen method limit inside join/sort stages
+    (measured: 8-plane x 4-table unrolled = interpreted fallback, 67s; loop
+    form compiles clean). Same (dot > 0) convention, identical buckets."""
+    pm = d.arr([d.arr(pl) for pl in planes])
+    dot = d.fold_sum(
+        d.transform(
+            d.seq(0, H.EMBED_DIM - 1),
+            "k",
+            f"cast({d.elem(emb, 'k')} as double) * {d.elem(d.elem(pm, 'j'), 'k')}",
+        )
+    )
+    shl = "shiftleft(1, cast(j as int))" if d.spark else "(1 << j)"
+    bits = d.transform(
+        d.seq(0, len(planes) - 1), "j", f"CASE WHEN ({dot}) > 0 THEN {shl} ELSE 0 END"
+    )
+    if d.spark:
+        return f"aggregate({bits}, 0, (acc, x) -> acc + cast(x as int))"
+    return f"cast(list_sum({bits}) as int)"
 
 
 def q_embed_lsh_ann(d: D, k: int = 3, n_planes: int | None = None) -> str:

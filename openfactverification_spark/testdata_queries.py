@@ -43,6 +43,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_cosine_topk": dual.q_embed_cosine_topk,
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
+    "embed_neardup_planted_lsh": dual.q_embed_neardup_planted_lsh,
     "embed_lsh_ann": dual.q_embed_lsh_ann,
     "embed_ivf_ann": dual.q_embed_ivf_ann,
     "tpch_q1_pricing": dual.q_tpch_q1,

@@ -308,3 +308,20 @@ def test_semantic_dedup_drops_are_true_near_dups(spark):
     for r in base_pairs:
         if r["id_b"] not in dropped:
             assert cell[r["id_a"]] != cell[r["id_b"]]
+
+
+def test_planted_neardup_lsh_full_recall_no_false_positives(spark):
+    """In the near-exact regime (cosine ≈ 0.999, production bucket params) the
+    multi-table LSH path must recover essentially every planted twin with
+    zero false positives — the scale behavior the threshold-0.40 variant
+    can't show on random vectors."""
+    from openfactverification_spark.operators.dual import (
+        D,
+        q_embed_neardup_planted_lsh,
+    )
+
+    n_vecs = spark.table("embeddings").count()
+    rows = spark.sql(q_embed_neardup_planted_lsh(D("spark"))).collect()
+    assert all(r["is_planted"] for r in rows)  # precision 1.0
+    assert len(rows) >= 0.95 * n_vecs  # near-total recall
+    assert min(r["cosine"] for r in rows) >= 0.998
