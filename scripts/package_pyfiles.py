@@ -13,18 +13,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = "openfactverification_spark"
 
 
+# Fixed timestamp so the build is deterministic: same sources -> byte-identical
+# zip, regardless of checkout mtimes (keeps dist/ stable across test runs).
+_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
 def main() -> str:
     dist = os.path.join(REPO, "dist")
     os.makedirs(dist, exist_ok=True)
     out = os.path.join(dist, f"{PKG}.zip")
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+        for root, dirs, files in os.walk(os.path.join(REPO, PKG)):
+            dirs.sort()
             if "__pycache__" in root:
                 continue
             for f in sorted(files):
                 if f.endswith((".py", ".json")):
                     full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, REPO))
+                    info = zipfile.ZipInfo(
+                        os.path.relpath(full, REPO), date_time=_EPOCH
+                    )
+                    info.compress_type = zipfile.ZIP_DEFLATED
+                    info.external_attr = 0o644 << 16
+                    with open(full, "rb") as fh:
+                        zf.writestr(info, fh.read())
     print(out)
     return out
 
