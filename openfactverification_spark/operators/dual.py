@@ -1552,6 +1552,158 @@ SELECT {d.big('s.doc_id')} AS doc_id,
 FROM docstats s LEFT JOIN per_doc p ON s.doc_id = p.doc_id"""
 
 
+# 13 words: one exact n-gram shared by eval docs and planted-contaminated docs.
+DECON_CANARY = (
+    "held out benchmark suite question answer pair canary phrase alpha beta gamma delta"
+)
+
+
+def q_decontaminate_eval(d: D, n: int = 13) -> str:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §C: drop or flag
+    training documents that share any 13-gram with an evaluation benchmark —
+    the standard pre-training hygiene step this family was missing). The eval
+    set is the deterministic ``doc_id % 20 = 0`` slice; contamination is
+    planted the way q_pii_redact plants PII — a fixed 13-word canary appended
+    to every eval doc AND to training docs with ``doc_id % 7 = 3`` (same
+    formula in both engines) — so the expected hit set is known and the oracle
+    checks the *detection*, not the planting.
+
+    Output: one row per TRAINING doc — its 13-gram count, how many gram
+    positions collide with the eval set, the overlap fraction, and the
+    contaminated flag.
+
+    Scale notes for 10^12 training docs:
+      * real eval benchmarks are tiny relative to the corpus (10^6-10^8
+        grams), so the distinct eval-gram set is BROADCAST (hinted on the
+        Spark side) — the training gram stream never shuffles for the join;
+        the only exchange is the per-doc count agg, which map-side-combines
+        to one row per doc because a doc's grams are co-located at the scan.
+      * grams are h7-hashed INSIDE the transform: the explode, the join key,
+        and the broadcast table all carry fixed-width ints, never 13-word
+        strings (~8 bytes/gram broadcast instead of ~100). 28-bit collisions
+        can flag a false positive; production uses a 64-bit prefix with the
+        identical plan.
+      * docs shorter than n words contribute zero grams: the gram array is a
+        CASE whose ELSE is NULL — conditional branches are evaluated lazily,
+        so Spark's sequence() never sees negative bounds (a plain WHERE guard
+        is NOT enough: subexpression elimination can evaluate the transform
+        inside a fused predicate before the length filter), and exploding
+        NULL yields zero rows in both engines. Short docs are restored by the
+        final left join, flagged clean with n_grams = 0."""
+    w = words_cte(d)
+    garr = (
+        f"CASE WHEN {d.alen('w')} >= {n} THEN "
+        + d.transform(
+            d.seq(0, f"{d.alen('w')} - {n}"), "i", d.h7(d.ajoin(d.aslice("w", "i", n)))
+        )
+        + " END"
+    )
+    seeded = (
+        "SELECT doc_id,\n"
+        f"         CASE WHEN doc_id % 20 = 0 THEN text || ' {DECON_CANARY}'\n"
+        f"              WHEN doc_id % 7 = 3 THEN text || ' {DECON_CANARY}'\n"
+        "              ELSE text END AS text,\n"
+        "         (doc_id % 20 = 0) AS is_eval\n"
+        "  FROM documents"
+    )
+    staged = f"SELECT doc_id, is_eval, {w} AS w FROM seeded"
+    arred = f"SELECT doc_id, is_eval, {garr} AS garr FROM ({staged}) s"
+    if d.spark:
+        grams_from = f"SELECT doc_id, is_eval, explode(garr) AS gh FROM ({arred}) g"
+        hint = "/*+ BROADCAST(e) */ "
+    else:
+        grams_from = f"SELECT doc_id, is_eval, unnest(garr) AS gh FROM ({arred}) g"
+        hint = ""
+    return f"""
+WITH seeded AS (
+  {seeded}
+),
+grams AS (
+  {grams_from}
+),
+eg AS (
+  SELECT DISTINCT gh FROM grams WHERE is_eval
+),
+hits AS (
+  SELECT {hint}t.doc_id, count(e.gh) AS n_hits, count(*) AS n_grams
+  FROM grams t LEFT JOIN eg e ON t.gh = e.gh
+  WHERE NOT t.is_eval
+  GROUP BY t.doc_id
+)
+SELECT {d.big('s.doc_id')} AS doc_id,
+       cast(coalesce(h.n_grams, 0) as int) AS n_grams,
+       cast(coalesce(h.n_hits, 0) as int) AS n_eval_hits,
+       round(cast(coalesce(h.n_hits, 0) as double)
+             / greatest(coalesce(h.n_grams, 0), 1), 6) AS overlap_frac,
+       (coalesce(h.n_hits, 0) > 0) AS contaminated
+FROM seeded s LEFT JOIN hits h ON s.doc_id = h.doc_id
+WHERE NOT s.is_eval"""
+
+
+def q_quality_perplexity(d: D, k_smooth: float = 0.5, ppl_max: float = 30.0) -> str:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020: score
+    every document by LM perplexity and keep the low-perplexity head). CCNet
+    ships an offline KenLM; here the model IS the corpus — an add-k-smoothed
+    bigram LM estimated from the same table in one aggregation pass — i.e. the
+    self-scoring variant used for in-domain filtering when no external LM can
+    be distributed with the job.
+
+    Per doc: bigram count, cross-entropy -avg ln P(w2|w1), perplexity exp(H),
+    and the keep verdict at ``ppl_max`` (applied to the ROUNDED perplexity so
+    float summation order cannot flip the flag between engines).
+
+    Scale notes for 10^12 docs:
+      * the model is two count tables built by groupBy with map-side partial
+        aggregation; keys are h7-hashed so exchange rows are fixed-width ints.
+        Model size is bounded by distinct (context, word) pairs — vocabulary
+        structure, not corpus size.
+      * scoring joins the per-position bigram stream back to the model. At
+        real vocabulary sizes the bigram table exceeds broadcast limits, so
+        the honest plan shuffles both sides on the gram hash (linear,
+        AQE-coalesced); for small domain vocabularies AQE auto-broadcasts the
+        count tables and the shuffle on the big side disappears.
+      * the per-doc avg collapses map-side (a doc's grams are co-located);
+        vocabulary size enters as an uncorrelated scalar subquery, not a
+        cross join."""
+    w = words_cte(d)
+    grams2 = d.transform(d.seq(0, f"{d.alen(w)} - 2"), "i", d.ajoin(d.aslice(w, "i", 2)))
+    if d.spark:
+        bg_from = f"SELECT doc_id, explode({grams2}) AS gram FROM documents"
+        uni_from = f"SELECT explode({w}) AS u FROM documents"
+    else:
+        bg_from = f"SELECT doc_id, unnest({grams2}) AS gram FROM documents"
+        uni_from = f"SELECT unnest({w}) AS u FROM documents"
+    logp = (
+        f"ln((c2.c2 + {k_smooth}) / (c1.c1 + {k_smooth} * (SELECT vocab FROM v)))"
+    )
+    return f"""
+WITH bg AS (
+  {bg_from}
+),
+sc AS (
+  SELECT doc_id, {d.h7('gram')} AS g2, {d.h7("split_part(gram, ' ', 1)")} AS g1 FROM bg
+),
+cnt2 AS (
+  SELECT g2, cast(count(*) as double) AS c2 FROM sc GROUP BY g2
+),
+cnt1 AS (
+  SELECT g1, cast(count(*) as double) AS c1 FROM sc GROUP BY g1
+),
+v AS (
+  SELECT cast(count(DISTINCT u) as double) AS vocab FROM ({uni_from}) uu
+),
+lp AS (
+  SELECT s.doc_id, {logp} AS l
+  FROM sc s JOIN cnt2 c2 ON s.g2 = c2.g2 JOIN cnt1 c1 ON s.g1 = c1.g1
+)
+SELECT {d.big('doc_id')} AS doc_id,
+       cast(count(*) as int) AS n_bigrams,
+       round(-avg(l), 6) AS cross_entropy,
+       round(exp(-avg(l)), 4) AS perplexity,
+       (round(exp(-avg(l)), 4) <= {ppl_max}) AS keep
+FROM lp GROUP BY doc_id"""
+
+
 def q_bm25_search(d: D, terms: tuple = ("spark", "merge", "vector"), k: int = 10,
                   k1: float = 1.2, b: float = 0.75) -> str:
     """BM25 keyword retrieval over the corpus — the reference's query→retrieve

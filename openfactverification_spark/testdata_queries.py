@@ -64,6 +64,8 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "pii_redact": dual.q_pii_redact,
     "quality_repetition": dual.q_quality_repetition,
     "dedup_ngram_spans": dual.q_dedup_ngram_spans,
+    "decontaminate_eval": dual.q_decontaminate_eval,
+    "quality_perplexity": dual.q_quality_perplexity,
     "bm25_search": dual.q_bm25_search,
     "events_scd2": dual.q_events_scd2,
     "events_distinct_daily": dual.q_events_distinct_daily,

@@ -325,3 +325,73 @@ def test_planted_neardup_lsh_full_recall_no_false_positives(spark):
     assert all(r["is_planted"] for r in rows)  # precision 1.0
     assert len(rows) >= 0.95 * n_vecs  # near-total recall
     assert min(r["cosine"] for r in rows) >= 0.998
+
+
+def test_decontaminate_matches_python_ground_truth(spark):
+    """Decontamination vs an independent pure-Python reference: rebuild the
+    seeded corpus, the eval 13-gram set, and every training doc's hit count
+    from the raw parquet text — the SQL detector must agree exactly (planted
+    canaries all flagged, organic overlaps included, short docs clean)."""
+    n = 13
+    docs = {r["doc_id"]: r["text"] for r in spark.table("documents").collect()}
+    canary = dual.DECON_CANARY
+
+    def grams(text):
+        w = text.split(" ")
+        return [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+
+    seeded = {
+        i: t + " " + canary if (i % 20 == 0 or i % 7 == 3) else t
+        for i, t in docs.items()
+    }
+    eval_grams = set()
+    for i, t in seeded.items():
+        if i % 20 == 0:
+            eval_grams.update(grams(t))
+    expected = {}
+    for i, t in seeded.items():
+        if i % 20 == 0:
+            continue
+        g = grams(t)
+        expected[i] = (len(g), sum(1 for x in g if x in eval_grams))
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_eval_hits"], r["contaminated"])
+        for r in spark.sql(dual.q_decontaminate_eval(_S)).collect()
+    }
+    assert set(got) == set(expected)
+    for i, (ng, hits) in expected.items():
+        assert got[i] == (ng, hits, hits > 0), f"doc {i}"
+    planted = [i for i in expected if i % 7 == 3]
+    assert planted and all(got[i][2] for i in planted)
+
+
+def test_perplexity_matches_python_bigram_lm(spark):
+    """quality_perplexity vs an independent pure-Python add-k bigram LM built
+    from the same corpus: per-doc cross-entropy must agree to 1e-5 and the
+    keep flag must follow the rounded perplexity exactly."""
+    import math
+    from collections import Counter
+
+    k = 0.5
+    docs = {r["doc_id"]: r["text"].split(" ") for r in spark.table("documents").collect()}
+    c2, c1 = Counter(), Counter()
+    vocab = set()
+    for w in docs.values():
+        vocab.update(w)
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+
+    rows = {r["doc_id"]: r for r in spark.sql(dual.q_quality_perplexity(_S)).collect()}
+    assert set(rows) == set(docs)
+    for i, w in docs.items():
+        lps = [
+            math.log((c2[(a, b)] + k) / (c1[a] + k * V)) for a, b in zip(w, w[1:])
+        ]
+        h = -sum(lps) / len(lps)
+        r = rows[i]
+        assert r["n_bigrams"] == len(lps)
+        assert abs(r["cross_entropy"] - h) < 1e-5, f"doc {i}"
+        assert r["keep"] == (round(math.exp(h), 4) <= 30.0)
