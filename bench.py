@@ -62,6 +62,8 @@ TESTDATA_BENCH = [
     "semantic_dedup",  # IVF-cell clustering + within-cell cosine (O(N^1.5))
     "corpus_top_terms_cms",  # count-min sketch: depth*width bounded exchange
     "embed_neardup_planted_lsh",  # LSH in its real regime: p=8 x L=4, ~linear candidates
+    "decontaminate_eval",  # 13-gram eval overlap: broadcast eval grams, hashed join keys
+    "quality_perplexity",  # corpus-trained bigram LM: two hashed count aggs + model join
 ]
 
 
