@@ -33,6 +33,7 @@ BASE_PATTERNS: dict[str, str] = {
 }
 
 _REF = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 class GrokError(ValueError):
@@ -89,9 +90,17 @@ def grok_select_sql(line_col: str, expr: str, dialect: str,
     plus a `grok_matched` boolean — rows failing the pattern carry NULL/''
     fields and matched=false (the dead-letter-route predicate).
 
-    Spark string literals eat one backslash level; DuckDB does not."""
+    Spark string literals eat one backslash level; DuckDB does not. The
+    pattern is rendered inside a single-quoted SQL literal, so embedded single
+    quotes (a grok matching apostrophes in log text) are ''-doubled — the
+    escape both grammars share — and field names must be plain identifiers
+    (they become AS aliases verbatim; anything else is an injection vector)."""
     rx, fields = compile_grok(expr, patterns)
+    for f in fields:
+        if not _IDENT.fullmatch(f):
+            raise GrokError(f"grok field name {f!r} is not a valid SQL identifier")
     lit = rx.replace("\\", "\\\\") if dialect == "spark" else rx
+    lit = lit.replace("'", "''")
     anchored = f"^{lit}$"
     cols = [
         f"regexp_extract({line_col}, '{anchored}', {i + 1}) AS {f}"

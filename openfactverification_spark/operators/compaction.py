@@ -10,7 +10,12 @@ log pipeline schedules — the parquet stand-in for Iceberg's
 Sizing is measured, not guessed: bytes/row comes from the input footers
 (compressed size), so the file count adapts to the actual schema/codec.
 The write is a two-phase commit: compact into `<dir>.compact.tmp`, verify row
-count, then atomically swap directories — a crash leaves the original intact.
+count, then swap directories via two renames. Every rename/delete boolean is
+checked (Hadoop FS returns False instead of throwing), and a pre-existing
+`.compact.old` from a prior crash fails fast before any work starts. Recovery
+after a mid-swap crash (original renamed away, tmp not yet promoted): restore
+`<dir>.compact.old` back to `<dir>` by hand — the data is never deleted until
+the new directory is live.
 """
 
 from __future__ import annotations
@@ -46,6 +51,17 @@ def compact_parquet(
 ) -> dict:
     """Rewrite `path` (parquet dir) into ceil(total_bytes/target) files of
     roughly equal size. Returns the audit record the maintenance job logs."""
+    fs, hpath, jvm = _fs(spark, path)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.old")
+    if fs.exists(bak):
+        # A prior run crashed mid-swap. Deciding which copy wins needs a human
+        # (or at least an inspection) — refuse to plow ahead and risk deleting
+        # the only good copy.
+        raise RuntimeError(
+            f"stale {bak} exists: a prior compaction crashed mid-swap; "
+            f"inspect and restore/delete it before compacting again"
+        )
+
     files = describe_files(spark, path)
     total = sum(b for _, b in files)
     n_out = max(1, -(-total // target_bytes))
@@ -62,12 +78,21 @@ def compact_parquet(
     if got != n_rows:
         raise RuntimeError(f"compaction row mismatch: {got} != {n_rows}")
 
-    fs, hpath, jvm = _fs(spark, path)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".compact.old")
-    fs.rename(hpath, bak)
-    fs.rename(htmp, hpath)
-    fs.delete(bak, True)
+    if not fs.rename(hpath, bak):
+        raise RuntimeError(f"compaction swap failed: rename {hpath} -> {bak}")
+    if not fs.rename(htmp, hpath):
+        # Put the original back so the table stays live; if even that fails,
+        # say exactly where the data sits.
+        if not fs.rename(bak, hpath):
+            raise RuntimeError(
+                f"compaction swap failed and rollback failed: data is at {bak}"
+            )
+        raise RuntimeError(
+            f"compaction swap failed: rename {htmp} -> {hpath} (rolled back)"
+        )
+    if not fs.delete(bak, True):
+        raise RuntimeError(f"compaction cleanup failed: delete {bak}")
 
     return {
         "n_files_before": len(files),

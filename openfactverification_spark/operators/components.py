@@ -67,6 +67,23 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return via_neighbors.unionByName(via_center).distinct()
 
 
+def _edge_sig(edges: DataFrame) -> tuple:
+    """(count, order-independent xxhash64 checksum) of an edge set, in ONE
+    aggregate job. The star loop's convergence test used to run two
+    exceptAll(...).isEmpty() jobs per round (each a full shuffle); equal
+    signatures imply set equality up to a ~2^-64-per-round hash-collision
+    risk, which the MAX_ROUNDS backstop and the equality-vs-naive tests
+    bound. Halves the per-round job count at scale."""
+    # bit_xor, not sum: order-independent like sum but cannot overflow under
+    # ANSI mode, and the edge set is distinct so xor-cancellation of repeated
+    # rows can't occur.
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(hi, lo))").alias("sig"),
+    ).collect()[0]
+    return (row["n"], row["sig"])
+
+
 def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     """Connected components via alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
@@ -84,14 +101,14 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
+    sig = _edge_sig(edges)
     for _ in range(MAX_ROUNDS):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        converged = (
-            new_edges.exceptAll(edges).isEmpty() and edges.exceptAll(new_edges).isEmpty()
-        )
+        new_sig = _edge_sig(new_edges)
         edges = new_edges
-        if converged:
+        if new_sig == sig:
             break
+        sig = new_sig
 
     # fixpoint edges are stars (node -> component min); singletons self-label
     labels = edges.selectExpr("hi AS doc_id", "lo AS comp")

@@ -1445,13 +1445,26 @@ def q_quality_repetition(d: D, top_frac_max: float = 0.20, dup_frac_max: float =
     int, not a variable-width bigram string — at 10^12 docs the shuffle is the
     whole cost and ~30 bytes/gram saved is ~30% of it. 28-bit collisions only
     matter *within* one doc's gram set (~10^2-10^4 distinct grams), where the
-    collision odds are negligible and identical in both engines."""
+    collision odds are negligible and identical in both engines.
+
+    Docs shorter than 2 words produce a NULL gram array via a lazy CASE guard
+    (NOT a WHERE: fused predicates can evaluate the transform before a length
+    filter, and Spark's sequence() throws on negative bounds — the
+    q_decontaminate_eval rule); exploding NULL yields zero rows in both
+    engines, so sub-2-word docs simply carry no gram and drop out of the
+    repetition stats, which is the correct Gopher semantics (no bigrams →
+    nothing to gate on)."""
     w = words_cte(d)
-    grams = d.transform(d.seq(0, f"{d.alen(w)} - 2"), "i", d.ajoin(d.aslice(w, "i", 2)))
+    garr = (
+        f"CASE WHEN {d.alen('w')} >= 2 THEN "
+        + d.transform(d.seq(0, f"{d.alen('w')} - 2"), "i", d.ajoin(d.aslice("w", "i", 2)))
+        + " END"
+    )
+    staged = f"SELECT doc_id, {w} AS w FROM documents"
     if d.spark:
-        grams_from = f"SELECT doc_id, explode({grams}) AS gram FROM documents"
+        grams_from = f"SELECT doc_id, explode({garr}) AS gram FROM ({staged}) s"
     else:
-        grams_from = f"SELECT doc_id, unnest({grams}) AS gram FROM documents"
+        grams_from = f"SELECT doc_id, unnest({garr}) AS gram FROM ({staged}) s"
     return f"""
 WITH grams AS ({grams_from}),
 freq AS (
@@ -1484,35 +1497,51 @@ def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
     Scale notes for 10^12 docs:
       * grams are hashed (h7) INSIDE the per-row transform, so the explode and
         the exchange carry a fixed-width int, never the n-word string;
-      * "appears in >1 doc" is min/max(doc_id) OVER (PARTITION BY gh) — a
-        single pass over the gram stream (the earlier groupBy-then-join-back
-        form computed the gram explode twice AND needed the duplicated-gram
-        set to broadcast, an assumption that dies at corpus scale where the
-        dup set is itself huge); constant per-gram window state, never
+      * "appears in >1 doc" is a groupBy(gh) pre-aggregate of (min, max
+        doc_id) shuffle-joined back on gh. The pre-agg map-side-combines (one
+        row per distinct gram per task reaches the exchange) and — unlike the
+        PARTITION BY gh window this replaced — a degenerate hot gram
+        (boilerplate shared by 10^8 docs) is an AQE-skew-splittable JOIN key,
+        not a single giant window partition pinned to one task. The dup-gram
+        stats table is NOT broadcast (at corpus scale it is itself huge); both
+        sides shuffle on gh. Cost: the gram explode is computed twice (once
+        per join side) — a linear re-scan, traded for removing the only
+        unsplittable skew point in the plan. Constant per-gram state, never
         count(distinct);
       * the interval-union window partitions by doc_id and is bounded by doc
         length — no global window, no skew beyond the longest single doc.
     28-bit gram-hash collisions can mark a false duplicate; production uses the
     same plan over a 64-bit hash (the narrow column width is what matters).
 
+    Docs shorter than n words get a NULL gram array via a lazy CASE (ELSE
+    NULL) guard — the q_decontaminate_eval rule: a plain WHERE is not enough
+    because fused predicates can evaluate the transform before the length
+    filter and Spark's sequence() throws on negative bounds. Exploding NULL
+    yields zero rows in both engines; short docs are restored by the final
+    left join with zero coverage.
+
     The word array is staged as a COLUMN before the gram lambda: lambda bodies
     get no common-subexpression elimination, so referencing split(text) inside
     the transform would re-split the whole document once per gram — O(len *
     n_grams) per doc (measured ~2x on this corpus; far worse on long docs)."""
     w = words_cte(d)
-    garr = d.transform(
-        d.seq(0, f"{d.alen('w')} - {n}"), "i", d.h7(d.ajoin(d.aslice("w", "i", n)))
+    garr = (
+        f"CASE WHEN {d.alen('w')} >= {n} THEN "
+        + d.transform(
+            d.seq(0, f"{d.alen('w')} - {n}"), "i", d.h7(d.ajoin(d.aslice("w", "i", n)))
+        )
+        + " END"
     )
     staged = f"SELECT doc_id, {w} AS w FROM documents"
     if d.spark:
         grams_from = (
-            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s "
-            f"WHERE size(w) >= {n}) LATERAL VIEW posexplode(garr) AS pos, gh"
+            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s) "
+            f"LATERAL VIEW posexplode(garr) AS pos, gh"
         )
     else:
         grams_from = (
             f"SELECT doc_id, CAST(unnest(range(0, len(garr))) AS INT) AS pos, unnest(garr) AS gh "
-            f"FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s WHERE len(w) >= {n}) t"
+            f"FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s) t"
         )
     prev_end = (
         f"max(pos + {n}) OVER (PARTITION BY doc_id ORDER BY pos "
@@ -1520,14 +1549,14 @@ def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
     )
     return f"""
 WITH grams AS ({grams_from}),
-flagged AS (
-  SELECT doc_id, pos,
-         min(doc_id) OVER (PARTITION BY gh) AS mn,
-         max(doc_id) OVER (PARTITION BY gh) AS mx
-  FROM grams
+gstats AS (
+  SELECT gh, min(doc_id) AS mn, max(doc_id) AS mx
+  FROM grams GROUP BY gh
 ),
 hits AS (
-  SELECT doc_id, pos FROM flagged WHERE mn <> mx
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN gstats t ON g.gh = t.gh
+  WHERE t.mn <> t.mx
 ),
 clipped AS (
   SELECT doc_id, pos, greatest(pos, coalesce({prev_end}, 0)) AS clip_start
@@ -1664,14 +1693,24 @@ def q_quality_perplexity(d: D, k_smooth: float = 0.5, ppl_max: float = 30.0) -> 
         count tables and the shuffle on the big side disappears.
       * the per-doc avg collapses map-side (a doc's grams are co-located);
         vocabulary size enters as an uncorrelated scalar subquery, not a
-        cross join."""
+        cross join.
+      * sub-2-word docs produce a NULL bigram array via the lazy CASE guard
+        (q_decontaminate_eval rule — WHERE does not protect sequence()
+        bounds); exploding NULL is zero rows in both engines, so such docs
+        have no bigrams to score and drop out, the same undefined-perplexity
+        semantics CCNet assigns to empty text."""
     w = words_cte(d)
-    grams2 = d.transform(d.seq(0, f"{d.alen(w)} - 2"), "i", d.ajoin(d.aslice(w, "i", 2)))
+    garr2 = (
+        f"CASE WHEN {d.alen('w')} >= 2 THEN "
+        + d.transform(d.seq(0, f"{d.alen('w')} - 2"), "i", d.ajoin(d.aslice("w", "i", 2)))
+        + " END"
+    )
+    staged = f"SELECT doc_id, {w} AS w FROM documents"
     if d.spark:
-        bg_from = f"SELECT doc_id, explode({grams2}) AS gram FROM documents"
+        bg_from = f"SELECT doc_id, explode({garr2}) AS gram FROM ({staged}) s"
         uni_from = f"SELECT explode({w}) AS u FROM documents"
     else:
-        bg_from = f"SELECT doc_id, unnest({grams2}) AS gram FROM documents"
+        bg_from = f"SELECT doc_id, unnest({garr2}) AS gram FROM ({staged}) s"
         uni_from = f"SELECT unnest({w}) AS u FROM documents"
     logp = (
         f"ln((c2.c2 + {k_smooth}) / (c1.c1 + {k_smooth} * (SELECT vocab FROM v)))"

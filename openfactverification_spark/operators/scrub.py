@@ -36,8 +36,11 @@ PLACEHOLDERS = ("<EMAIL>", "<PHONE>", "<IP>")
 
 def _pat(d: D, pat: str) -> str:
     """Regex rendered for embedding in a '...' SQL literal (Spark consumes one
-    backslash level inside string literals; DuckDB does not)."""
-    return pat.replace("\\", "\\\\") if d.spark else pat
+    backslash level inside string literals; DuckDB does not). Single quotes
+    are ''-doubled so a future pattern matching apostrophes can't break the
+    literal (same hardening as functions/grok.py)."""
+    out = pat.replace("\\", "\\\\") if d.spark else pat
+    return out.replace("'", "''")
 
 
 def _row_key() -> str:

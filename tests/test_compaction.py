@@ -38,3 +38,19 @@ def test_compaction_reduces_files_and_preserves_rows(spark, tmp_path):
     # sizes near-uniform: no output file more than 3x the smallest
     sizes = sorted(s for _, s in after)
     assert sizes[-1] <= 3 * sizes[0], sizes
+
+
+def test_compaction_fails_fast_on_stale_backup(spark, tmp_path):
+    """ADVICE r2: a `.compact.old` left by a prior mid-swap crash must abort
+    the run before any data is touched (plowing ahead risks deleting the only
+    good copy), and the live directory must be untouched afterwards."""
+    import pytest
+
+    path = str(tmp_path / "data")
+    spark.range(100).write.parquet(path)
+    (tmp_path / "data.compact.old").mkdir()
+
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    with pytest.raises(RuntimeError, match="compact.old"):
+        compact_parquet(spark, path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before

@@ -395,3 +395,74 @@ def test_perplexity_matches_python_bigram_lm(spark):
         assert r["n_bigrams"] == len(lps)
         assert abs(r["cross_entropy"] - h) < 1e-5, f"doc {i}"
         assert r["keep"] == (round(math.exp(h), 4) <= 30.0)
+
+
+def test_short_doc_sequence_guard_both_engines(spark):
+    """ADVICE r2: empty/1-word docs must not crash Spark's sequence() (ANSI
+    'Illegal sequence boundaries') in the gram-based quality/dedup queries, and
+    both engines must agree on which docs survive. split('', ' ') yields ['']
+    (one token), so the empty doc exercises the size(w)=1 path."""
+    import duckdb
+
+    rows = [
+        (1, ""),
+        (2, "solo"),
+        (3, "two words"),
+        (4, " ".join(f"w{i}" for i in range(12))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    try:
+        for q in (dual.q_quality_repetition, dual.q_quality_perplexity,
+                  dual.q_dedup_ngram_spans):
+            got_s = {r["doc_id"] for r in spark.sql(q(_S)).collect()}
+            got_d = {r[0] for r in con.execute(q(D("duckdb"))).fetchall()}
+            assert got_s == got_d, q.__name__
+        # spans keeps every doc via the left join; gram queries drop short docs
+        spans = {r["doc_id"]: r for r in spark.sql(dual.q_dedup_ngram_spans(_S)).collect()}
+        assert set(spans) == {1, 2, 3, 4}
+        assert all(spans[i]["n_grams"] == 0 for i in (1, 2, 3))
+        rep = {r["doc_id"] for r in spark.sql(dual.q_quality_repetition(_S)).collect()}
+        assert rep == {3, 4}
+    finally:
+        spark.read.parquet(table_path(SF, "documents")).createOrReplaceTempView(
+            "documents"
+        )
+
+
+def test_ngram_spans_hot_gram_skew_shape(spark):
+    """r2 watch item: the duplicated-gram flag must NOT be a window partitioned
+    by gram hash (a boilerplate gram shared by half the corpus would pin one
+    giant partition to a single task); it is a groupBy pre-agg shuffle-joined
+    back — the only Window left in the plan is the per-doc interval union."""
+    import re as _re
+
+    # boilerplate: the same 8-gram planted in half the docs
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (i, (boiler + " " if i % 2 == 0 else "") + " ".join(f"d{i}x{j}" for j in range(10)))
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        df = spark.sql(dual.q_dedup_ngram_spans(_S))
+        got = {r["doc_id"]: r for r in df.collect()}
+        for i in range(40):
+            if i % 2 == 0:
+                assert got[i]["n_dup_grams"] == 1 and got[i]["dup_tokens"] == 8
+            else:
+                assert got[i]["n_dup_grams"] == 0
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        windows = [ln for ln in plan.splitlines() if _re.match(r"\s*[+:-]*\s*Window", ln)]
+        assert len(windows) == 1, plan
+        assert "doc_id" in windows[0] and "gh" not in windows[0]
+    finally:
+        spark.read.parquet(table_path(SF, "documents")).createOrReplaceTempView(
+            "documents"
+        )

@@ -48,3 +48,32 @@ def test_unknown_pattern_raises():
 def test_circular_pattern_raises():
     with pytest.raises(GrokError):
         compile_grok("%{A:x}", patterns={"A": "%{B}", "B": "%{A}"})
+
+
+def test_sql_literal_escapes_single_quotes(spark):
+    """ADVICE r2: a grok expression containing an apostrophe must render to
+    valid SQL in both dialects — '' doubling inside the pattern literal."""
+    import duckdb
+
+    from openfactverification_spark.functions.grok import grok_select_sql
+
+    expr = "it's %{WORD:who}"
+    for dialect in ("spark", "duckdb"):
+        cols = grok_select_sql("line", expr, dialect)
+        sql = "SELECT " + ", ".join(cols) + " FROM t"
+        if dialect == "spark":
+            spark.createDataFrame([("it's me",)], "line string").createOrReplaceTempView("t")
+            row = spark.sql(sql).collect()[0]
+        else:
+            con = duckdb.connect()
+            con.execute("CREATE TABLE t(line VARCHAR)")
+            con.execute("INSERT INTO t VALUES ('it''s me')")
+            row = con.execute(sql).fetchone()
+        assert row[0] == "me" and row[1] is True, dialect
+
+
+def test_invalid_field_name_rejected():
+    from openfactverification_spark.functions.grok import grok_select_sql
+
+    with pytest.raises(GrokError, match="identifier"):
+        grok_select_sql("line", "%{INT:1bad}", "spark")
