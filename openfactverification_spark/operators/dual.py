@@ -1145,6 +1145,7 @@ def q_embed_ivf_ann(
     n_queries: int = 30,
     n_cells: int | None = None,
     nprobe: int | None = None,
+    centroids: list | None = None,
 ) -> str:
     """IVF ANN: every vector is assigned to its nearest centroid (primary
     cell); each query searches its `nprobe` nearest cells with exact cosine
@@ -1160,7 +1161,10 @@ def q_embed_ivf_ann(
     centroid table."""
     n_cells = H.IVF_CELLS if n_cells is None else n_cells
     nprobe = H.IVF_NPROBE if nprobe is None else nprobe
-    cents = H.IVF_CENTROID_POOL[:n_cells]
+    # `centroids` lets the caller feed k-means-refined centroids
+    # (operators/kmeans.py); the seeded pool is the deterministic default.
+    cents = (H.IVF_CENTROID_POOL[:n_cells] if centroids is None else centroids)
+    n_cells = len(cents)
     # Assignment = N x C dot products against LITERAL centroids: unrolled
     # (_dot_lit) into codegen'd arithmetic, no per-element lambda, no join
     # (the centroid "table" folds into the projection; on a real catalog this
@@ -1924,7 +1928,12 @@ SELECT {d.big('event_id')} AS event_id,
 FROM based"""
 
 
-def q_semantic_dedup(d: D, threshold: float = 0.40, n_cells: int | None = None) -> str:
+def q_semantic_dedup(
+    d: D,
+    threshold: float = 0.40,
+    n_cells: int | None = None,
+    centroids: list | None = None,
+) -> str:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): cluster embeddings to IVF
     cells, then drop near-duplicates WITHIN each cell — a vector is dropped if
@@ -1957,7 +1966,10 @@ def q_semantic_dedup(d: D, threshold: float = 0.40, n_cells: int | None = None) 
     engines; per-cell sums are sequential left folds (d.fold_sum), bit-equal
     across engines."""
     n_cells = H.IVF_CELLS if n_cells is None else n_cells
-    cents = H.IVF_CENTROID_POOL[:n_cells]
+    # `centroids` lets the caller feed k-means-refined centroids
+    # (operators/kmeans.py); the seeded pool is the deterministic default.
+    cents = (H.IVF_CENTROID_POOL[:n_cells] if centroids is None else centroids)
+    n_cells = len(cents)
     centm = d.arr([d.arr(row) for row in cents])  # constant-folded literal matrix
     dim = len(cents[0])
     # darr[i] = dot(embedding, centm[i]) via an index-based lambda (identical
@@ -2066,6 +2078,114 @@ SELECT cast(dims.cell_id as int) AS cell_id,
        max(m.n_members) AS n_members
 FROM dims JOIN members m ON m.cell_id = dims.cell_id
 GROUP BY dims.cell_id, pos"""
+
+
+def q_embed_kmeans_converged(d: D, n_cells: int = 8, rounds: int = 3) -> str:
+    """Lloyd's k-means run for a FIXED number of refinement rounds — the
+    oracle-paired twin of the open-ended convergence loop in
+    operators/kmeans.py (fixed round count because an oracle must be
+    deterministic; the DataFrame loop adds the drift-based stop).
+
+    Each round r: (1) assign every vector to its nearest centroid by dot
+    product — a zero-shuffle projection: the centroid matrix is a single-row
+    CTE cross-joined in (broadcast of one row) and the N x C dots are a
+    LOOP-FORM lambda (transform + sequential fold), the 64KB-codegen-safe
+    shape for a multi-consumer chain; (2) recompute each cell's centroid as
+    the per-dimension mean via unpivot → groupBy(cell, pos) with map-side
+    partial aggregation — (cells x dim) rows regardless of N; (3) rebuild the
+    matrix, keeping a cell that lost all members at its previous centroid
+    (the left-join-grid coalesce), so the chain never misindexes.
+
+    Cross-engine determinism: centroid means are rounded to 6 dp each round
+    BEFORE feeding the next assignment (parallel double summation order
+    differs between engines; rounding collapses the ~1e-12 noise), dots are
+    sequential left folds (bit-identical), and argmax ties break to the
+    lowest cell via first-occurrence array_position in both engines.
+
+    Scale: per round one scan of the vectors, one (cells x dim)-row exchange,
+    and a tiny single-row matrix rebuild — the classic centroids-on-driver
+    Lloyd's shape with the driver replaced by a one-row broadcast."""
+    dim = H.EMBED_DIM
+    cents = H.IVF_CENTROID_POOL[:n_cells]
+    centm = d.arr([d.arr(row) for row in cents])
+    prod = (
+        f"cast({d.elem('embedding', 'j')} as double) * "
+        f"{d.elem(d.elem('cm', 'i'), 'j')}"
+    )
+    darr = d.transform(
+        d.seq(0, n_cells - 1), "i", d.fold_sum(d.transform(d.seq(0, dim - 1), "j", prod))
+    )
+    if d.spark:
+        argmax = "cast(array_position(darr, array_max(darr)) - 1 as int)"
+        ordered_vals = (
+            "transform(array_sort(collect_list(struct(cell_id, pos, val))), x -> x.val)"
+        )
+    else:
+        argmax = "cast(list_position(darr, list_max(darr)) - 1 as int)"
+        ordered_vals = "array_agg(val ORDER BY cell_id, pos)"
+    matrix = d.transform(
+        d.seq(0, n_cells - 1),
+        "i",
+        d.transform(d.seq(0, dim - 1), "j", d.elem("vals", f"i * {dim} + j")),
+    )
+    ctes = [f"c0 AS (SELECT {centm} AS cm)"]
+    prev = "c0"
+    for r in range(1, rounds + 1):
+        if d.spark:
+            unpivot = (
+                f"SELECT cell_id, pos, cast(v as double) AS v FROM a{r} "
+                "LATERAL VIEW posexplode(embedding) t AS pos, v"
+            )
+            grid = (
+                f"SELECT cell_id, pos, prev FROM {prev} "
+                "LATERAL VIEW posexplode(cm) t0 AS cell_id, crow "
+                "LATERAL VIEW posexplode(crow) t1 AS pos, prev"
+            )
+        else:
+            unpivot = (
+                "SELECT cell_id, cast(p.pos as int) AS pos, "
+                f"cast(embedding[p.pos + 1] as double) AS v "
+                f"FROM a{r}, (SELECT unnest(range(0, {dim})) AS pos) p"
+            )
+            grid = (
+                "SELECT cast(i.i as int) AS cell_id, cast(j.j as int) AS pos, "
+                f"cm[i.i + 1][j.j + 1] AS prev "
+                f"FROM {prev}, (SELECT unnest(range(0, {n_cells})) AS i) i, "
+                f"(SELECT unnest(range(0, {dim})) AS j) j"
+            )
+        ctes.append(
+            f"""a{r} AS (
+  SELECT vec_id, embedding, {argmax} AS cell_id
+  FROM (SELECT vec_id, embedding, {darr} AS darr
+        FROM embeddings CROSS JOIN {prev}) w{r}
+)"""
+        )
+        ctes.append(f"u{r} AS ({unpivot})")
+        ctes.append(
+            f"m{r} AS (SELECT cell_id, pos, round(avg(v), 6) AS val "
+            f"FROM u{r} GROUP BY cell_id, pos)"
+        )
+        ctes.append(
+            f"""g{r} AS (
+  SELECT grid.cell_id AS cell_id, grid.pos AS pos, coalesce(m.val, grid.prev) AS val
+  FROM ({grid}) grid LEFT JOIN m{r} m ON grid.cell_id = m.cell_id AND grid.pos = m.pos
+)"""
+        )
+        ctes.append(
+            f"c{r} AS (SELECT {matrix} AS cm FROM (SELECT {ordered_vals} AS vals FROM g{r}) s{r})"
+        )
+        prev = f"c{r}"
+    ctes.append(
+        f"members AS (SELECT cell_id, count(*) AS n_members FROM a{rounds} GROUP BY cell_id)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cast(g.cell_id as int) AS cell_id,
+       cast(g.pos as int) AS pos,
+       g.val AS centroid_val,
+       {d.big('coalesce(m.n_members, 0)')} AS n_members
+FROM g{rounds} g LEFT JOIN members m ON g.cell_id = m.cell_id"""
 
 
 def q_corpus_top_terms(d: D, k: int = 25) -> str:

@@ -71,6 +71,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "events_distinct_daily": dual.q_events_distinct_daily,
     "events_zorder_key": dual.q_events_zorder_key,
     "embed_kmeans_step": dual.q_embed_kmeans_step,
+    "embed_kmeans_converged": dual.q_embed_kmeans_converged,
     "semantic_dedup": dual.q_semantic_dedup,
     "corpus_top_terms": dual.q_corpus_top_terms,
     "corpus_top_terms_cms": dual.q_corpus_top_terms_cms,

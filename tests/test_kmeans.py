@@ -1,0 +1,88 @@
+"""k-means convergence loop (operators/kmeans.py) — equality with the
+fixed-round SQL twin, monotone objective, and the IVF/SemDeDup feed-through."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from openfactverification_spark.functions import hashing as H
+from openfactverification_spark.operators import dual
+from openfactverification_spark.operators.dual import D
+from openfactverification_spark.operators.kmeans import (
+    kmeans_refine,
+    within_cluster_ssd,
+)
+
+SF = "/root/testdata/sf0.001"
+_S = D("spark")
+
+
+def _vectors(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select("vec_id", "embedding")
+
+
+def test_loop_matches_fixed_round_sql_twin(spark):
+    """kmeans_refine run for exactly 3 rounds (tol=0 forces full rounds... but
+    capped at max_rounds=3) must equal q_embed_kmeans_converged(rounds=3) —
+    the oracle-paired query IS the loop's trajectory at that round."""
+    vecs = _vectors(spark)
+    seeds = H.IVF_CENTROID_POOL[:8]
+    cents, rounds = kmeans_refine(vecs, seeds, max_rounds=3, tol=-1.0)
+    assert rounds == 3
+
+    vecs.createOrReplaceTempView("embeddings")
+    rows = spark.sql(dual.q_embed_kmeans_converged(_S, n_cells=8, rounds=3)).collect()
+    sql_cents = {(r["cell_id"], r["pos"]): r["centroid_val"] for r in rows}
+    for c in range(8):
+        for j in range(len(seeds[0])):
+            assert abs(cents[c][j] - sql_cents[(c, j)]) < 1e-9, (c, j)
+
+
+def test_objective_improves_and_converges(spark):
+    """Refined centroids must cut the within-cluster mean squared distance vs
+    the raw seeds, and the drift-based stop must fire before the backstop."""
+    vecs = _vectors(spark).cache()
+    seeds = H.IVF_CENTROID_POOL[:8]
+    before = within_cluster_ssd(vecs, seeds)
+    cents, rounds = kmeans_refine(vecs, seeds, max_rounds=25, tol=1e-4)
+    after = within_cluster_ssd(vecs, cents)
+    assert after < before, (before, after)
+    assert rounds < 25, "drift stop never fired"
+    # one more round must change ~nothing (fixpoint reached)
+    cents2, _ = kmeans_refine(vecs, cents, max_rounds=1, tol=-1.0)
+    drift = max(
+        abs(a - b) for ca, cb in zip(cents, cents2) for a, b in zip(ca, cb)
+    )
+    assert drift <= 1e-4
+
+
+def test_refined_centroids_feed_ivf_and_semdedup(spark):
+    """q_embed_ivf_ann / q_semantic_dedup accept the refined centroids and the
+    refined assignment is at least as balanced as the seeded one (k-means
+    pulls centroids toward the data, so no cell should dominate more)."""
+    vecs = _vectors(spark)
+    seeds = H.IVF_CENTROID_POOL[:8]
+    cents, _ = kmeans_refine(vecs, seeds, max_rounds=10, tol=1e-4)
+
+    spark.read.parquet(f"{SF}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    seeded = spark.sql(dual.q_semantic_dedup(_S, n_cells=8)).collect()
+    refined = spark.sql(dual.q_semantic_dedup(_S, centroids=cents)).collect()
+    assert {r["vec_id"] for r in seeded} == {r["vec_id"] for r in refined}
+    max_seed = max(r["cell_n"] for r in seeded)
+    max_ref = max(r["cell_n"] for r in refined)
+    assert max_ref <= max_seed, (max_seed, max_ref)
+
+    spark.read.parquet(f"{SF}/embeddings.parquet").createOrReplaceTempView(
+        "embeddings"
+    )
+    ann = spark.sql(dual.q_embed_ivf_ann(_S, centroids=cents))
+    brute = spark.sql(dual.q_embed_cosine_topk(_S, k=5, n_queries=10**9))
+    joined = ann.join(
+        brute.withColumnRenamed("cosine", "bf_cosine"), ["query_id", "neighbor_id"]
+    )
+    assert joined.filter("abs(cosine - bf_cosine) > 1e-9").count() == 0
+    spark.conf.set("spark.ofv.registered_sf", "")
