@@ -137,7 +137,13 @@ def q_pipeline_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P7: token accounting per role — whitespace tokens + BPE-ish regex tokens."""
+    """P7: token accounting per role — whitespace tokens, BPE-ish regex
+    tokens, and real subword counts from the deterministic mini-BPE
+    (functions/bpe.py; the reference meters tiktoken BPE,
+    /root/reference/factcheck/__init__.py:38). The BPE column is a pure
+    lambda-fold projection (no UDF, no explode) — linear scan at any scale."""
+    from .functions.bpe import bpe_token_count_expr
+
     t = transcripts_df(spark, ORACLE_N_TURNS)
     return t.groupBy("role").agg(
         F.count(F.lit(1)).alias("n_turns"),
@@ -145,6 +151,7 @@ def q_pipeline_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.regexp_count(F.col("text"), F.lit(r"\w+|[^\w\s]"))).alias(
             "sum_regex_tokens"
         ),
+        F.sum(F.expr(bpe_token_count_expr("text", "spark"))).alias("sum_bpe_tokens"),
     )
 
 

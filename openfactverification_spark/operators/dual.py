@@ -2188,6 +2188,86 @@ SELECT cast(g.cell_id as int) AS cell_id,
 FROM g{rounds} g LEFT JOIN members m ON g.cell_id = m.cell_id"""
 
 
+def q_tokenize_bpe(d: D) -> str:
+    """Per-document subword token accounting with the deterministic mini-BPE
+    (functions/bpe.py — the real-tokenizer upgrade of the whitespace/regex P7
+    counts; reference meters tiktoken BPE, /root/reference/factcheck/__init__.py:38).
+
+    Plan (the shape that survives 10^12 docs): BPE output is a function of the
+    word TYPE, not the occurrence — so the merge fold runs over the DISTINCT
+    vocabulary only (bounded by vocabulary size, not corpus size) and the
+    corpus-sized stream just does a per-(doc, word) count and a broadcast join
+    against that tiny tokenized dictionary. The fold itself is a loop-form
+    aggregate over the literal merges array (SQL replace() has exactly the
+    encoder's non-overlapping left-to-right semantics), JVM-side inside
+    whole-stage codegen — no UDF anywhere. DuckDB expresses the same rank-
+    ordered fold as a recursive CTE joining step i to merge rank i.
+
+    Output: doc_id, n_words, n_chars, n_bpe_tokens, chars_per_token."""
+    from ..functions import bpe as B
+
+    merges = [(f"{a}|{b}", a + b) for a, b in B.MERGES]
+    nm = len(merges)
+    if d.spark:
+        marr = d.arr([d.arr([f"'{p}'", f"'{r}'"]) for p, r in merges])
+        words_from = (
+            "SELECT doc_id, explode(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS word "
+            "FROM documents"
+        )
+        raw = "regexp_replace(word, '(.)', '$1|')"
+        fold = (
+            f"aggregate({marr}, left(raw, length(raw) - 1), "
+            "(acc, m) -> replace(acc, element_at(m, 1), element_at(m, 2)))"
+        )
+        vt_cte = f"""vt AS (
+  SELECT word, length(word) AS n_chars,
+         length(tokstr) - length(replace(tokstr, '|', '')) + 1 AS n_tok
+  FROM (SELECT word, {fold} AS tokstr
+        FROM (SELECT word, {raw} AS raw FROM vocab) r) t
+)"""
+        hint = "/*+ BROADCAST(vt) */ "
+        prefix = "WITH "
+    else:
+        mvals = ", ".join(f"({i}, '{p}', '{r}')" for i, (p, r) in enumerate(merges))
+        words_from = (
+            "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word "
+            "FROM documents"
+        )
+        raw = r"regexp_replace(word, '(.)', '\1|', 'g')"
+        vt_cte = f"""merges(rank, pat, repl) AS (VALUES {mvals}),
+steps AS (
+  SELECT word, left(raw, length(raw) - 1) AS tokstr, 0 AS i
+  FROM (SELECT word, {raw} AS raw FROM vocab) r
+  UNION ALL
+  SELECT s.word, replace(s.tokstr, m.pat, m.repl), s.i + 1
+  FROM steps s JOIN merges m ON m.rank = s.i
+),
+vt AS (
+  SELECT word, length(word) AS n_chars,
+         length(tokstr) - length(replace(tokstr, '|', '')) + 1 AS n_tok
+  FROM steps WHERE i = {nm}
+)"""
+        hint = ""
+        prefix = "WITH RECURSIVE "
+    return f"""
+{prefix}words AS ({words_from}),
+wc AS (
+  SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word
+),
+vocab AS (
+  SELECT DISTINCT word FROM words
+),
+{vt_cte}
+SELECT {hint}{d.big('wc.doc_id')} AS doc_id,
+       cast(sum(wc.cnt) as int) AS n_words,
+       cast(sum(wc.cnt * vt.n_chars) as int) AS n_chars,
+       cast(sum(wc.cnt * vt.n_tok) as int) AS n_bpe_tokens,
+       round(cast(sum(wc.cnt * vt.n_chars) as double)
+             / sum(wc.cnt * vt.n_tok), 6) AS chars_per_token
+FROM wc JOIN vt ON wc.word = vt.word
+GROUP BY wc.doc_id"""
+
+
 def q_corpus_top_terms(d: D, k: int = 25) -> str:
     """Corpus-wide exact top-k terms (the vocabulary/stopword audit every text
     pipeline starts with): explode → count → TakeOrderedAndProject. Exact

@@ -17,6 +17,7 @@ from ..operators.verify import (
     MAX_QUERY_PER_CLAIM as _MAX_QUERY_PER_CLAIM,
     QUERY_TEMPLATES as _QUERY_TEMPLATES,
 )
+from ..functions.bpe import bpe_token_count_expr as _bpe_expr
 from ..functions.scoring import ce_score_sql as _ce_score_sql
 from ..rulepack import DEFAULT_PACK
 from ..sources.transcripts import (
@@ -295,7 +296,8 @@ FROM det GROUP BY conv_id, turn_idx, claim_idx""",
         "pipeline_token_stats": f"""{ctes}
 SELECT role, COUNT(*)::BIGINT AS n_turns,
        SUM(len(string_split(text, ' ')))::BIGINT AS sum_ws_tokens,
-       SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_regex_tokens
+       SUM(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT AS sum_regex_tokens,
+       SUM({_bpe_expr("text", "duckdb")})::BIGINT AS sum_bpe_tokens
 FROM transcripts GROUP BY role""",
         "pipeline_dq_checks": f"""{ctes},
 dq AS (

@@ -73,6 +73,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_kmeans_step": dual.q_embed_kmeans_step,
     "embed_kmeans_converged": dual.q_embed_kmeans_converged,
     "semantic_dedup": dual.q_semantic_dedup,
+    "tokenize_bpe": dual.q_tokenize_bpe,
     "corpus_top_terms": dual.q_corpus_top_terms,
     "corpus_top_terms_cms": dual.q_corpus_top_terms_cms,
     "pagerank_trade": dual.q_pagerank_trade,
