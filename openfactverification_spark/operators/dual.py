@@ -631,6 +631,64 @@ SELECT lang, {pred} AS predicted, {d.big('count(*)')} AS n
 FROM documents GROUP BY lang, {pred}"""
 
 
+def q_lang_id_model(d: D) -> str:
+    """Model-based language ID: a char-n-gram linear classifier with LITERAL
+    weights (functions/langid.py — fastText-style in miniature, trained
+    offline on embedded public-text samples), replacing the en/other stopword
+    heuristic (q_lang_id) with a real 5-way en/de/es/fr/zh decision.
+
+    The fixture corpus labels `lang` but draws text from one shared
+    vocabulary (no learnable signal — measured at chance with a word-level
+    NB), so the query deterministically plants a short characteristic phrase
+    per labeled doc (same formula in both engines, the q_pii_redact /
+    q_decontaminate_eval pattern) and the oracle checks the DETECTION: the
+    model never sees the label, only the text. The plant repeats with doc
+    length (1 copy per 80 chars) because a real foreign-language document is
+    foreign THROUGHOUT — constant-density signal, not a fixed suffix a long
+    English-vocabulary body can outvote.
+
+    Scale shape: scoring is ONE projection — per feature gram, a substring
+    count via the non-overlapping replace() trick, then five fixed linear
+    combinations and a prioritized argmax CASE. No join, no explode, no
+    shuffle beyond the confusion-count groupBy (≤ 25 rows). ~40 replaces per
+    doc, branch-free inside whole-stage codegen; the same plan scores 10^12
+    docs as a map-only pass."""
+    from ..functions import langid as L
+
+    tails = " ".join(
+        f"WHEN '{lang}' THEN '{L.PLANT_TAILS[lang]}'" for lang in L.LANGS
+    )
+    score_cols = []
+    for lang in L.LANGS:
+        terms = []
+        for g, w in L.MODEL[lang]:
+            cnt = d.div(f"(length(t) - length(replace(t, '{g}', '')))", len(g))
+            terms.append(f"{cnt} * {w}")
+        score_cols.append(f"round({' + '.join(terms)}, 6) AS s_{lang}")
+    # prioritized argmax: first language (LANGS order) whose score is >= all
+    # later ones — identical tie-breaking in both engines
+    branches = []
+    for i, lang in enumerate(L.LANGS[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in L.LANGS[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    pred = f"CASE {' '.join(branches)} ELSE '{L.LANGS[-1]}' END"
+    scores = ",\n         ".join(score_cols)
+    return f"""
+WITH seeded AS (
+  SELECT doc_id, lang,
+         lower(text || repeat(CASE lang {tails} ELSE '' END,
+                              greatest(1, {d.div('length(text)', 80)}))) AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         {scores}
+  FROM seeded
+)
+SELECT lang, {pred} AS predicted, {d.big('count(*)')} AS n
+FROM scored GROUP BY lang, {pred}"""
+
+
 def q_chunk_documents(d: D, size: int = 10, step: int = 8) -> str:
     """P9 sliding-window chunking (reference base.py:201-235: passages of 10
     sentences stepping 8) over words; pure array ops, no UDF."""

@@ -39,6 +39,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "text_stats": dual.q_text_stats,
     "clean_text": dual.q_clean_text,
     "text_lang_id": dual.q_lang_id,
+    "text_lang_id_model": dual.q_lang_id_model,
     "chunk_documents": dual.q_chunk_documents,
     "embed_cosine_topk": dual.q_embed_cosine_topk,
     "embed_dup_pairs": dual.q_embed_dup_pairs,
