@@ -42,7 +42,9 @@ TESTDATA_BENCH = [
     "text_stats",
     "embed_lsh_ann",  # bucketed ANN (parameterized planes)
     "embed_ivf_ann",  # cell-pruned ANN (n_cells, nprobe)
-    "embed_dup_pairs_lsh",  # multi-table LSH + exact-cosine verify
+    "embed_dup_pairs_lsh_hi",  # production-regime LSH: thr 0.90, p=12 x L=8, ~linear candidates
+    # (threshold-0.40 embed_dup_pairs_lsh stays registered as the worst-case
+    #  anchor — quadratic-regime on random vectors by design, not a headline)
     "dedup_components",  # iterative min-label propagation over the pair graph
     "training_ready",  # composed keeper ∧ lang ∧ quality gate
     "multimodal_frames",  # mapInPandas frame-sample + resize

@@ -45,7 +45,9 @@ MINHASH_B = [int(x) for x in _rng.randint(0, MERSENNE_P, size=MINHASH_K)]
 # Random-hyperplane pool for embedding LSH: pool_size x dim literal matrix,
 # seeded. Queries slice what they need (single-table prefix or per-table
 # disjoint slices), so every configuration draws from one fixed pool.
-HYPERPLANE_POOL_SIZE = 64
+# 128 covers the production-regime p=12 x L=8 headline; growing the pool only
+# APPENDS draws (sequential seeded RNG), so every existing slice is unchanged.
+HYPERPLANE_POOL_SIZE = 128
 EMBED_DIM = 64
 _rng2 = np.random.RandomState(7)
 HYPERPLANE_POOL = [

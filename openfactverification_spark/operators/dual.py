@@ -926,6 +926,7 @@ def q_embed_neardup_planted_lsh(
     planes_per_table: int = 8,
     n_tables: int = 4,
     bump: float = 1.05,
+    output: str = "pairs",
 ) -> str:
     """Multi-table LSH near-dup detection in the REGIME IT IS BUILT FOR:
     cosine >= 0.98 true near-duplicates. The fixture embeddings are random
@@ -940,7 +941,15 @@ def q_embed_neardup_planted_lsh(
     for random pairs — candidate volume stays ~N·(N/256)·L/2 pre-verify and
     the verified output is exactly the planted pair set. THIS is the scale
     behavior (candidates ~linear at fixed bucket population) the
-    threshold-0.40 variant cannot show on random data; both stay registered."""
+    threshold-0.40 variant cannot show on random data; both stay registered.
+
+    ``output="stats"`` emits ONE row measuring the regime instead of the pair
+    list: candidate volume, verified pairs, planted pairs found, and the
+    all-pairs count the candidates must stay far below — the oracle-checked
+    evidence that candidates << all-pairs at production parameters (r2
+    verdict: make the honest regime the headline, keep 0.40 as the
+    worst-case anchor). The p=12 x L=8 / threshold 0.90 parameterization
+    registered as embed_dup_pairs_lsh_hi is that headline."""
     tables = H.lsh_tables(n_tables, planes_per_table)
     pert = d.transform(
         d.seq(0, H.EMBED_DIM - 1),
@@ -992,13 +1001,26 @@ cand AS (
   FROM buckets qa JOIN buckets qb
     ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
 )
-SELECT {d.big('a.vec_id')} AS id_a, {d.big('b.vec_id')} AS id_b,
+{_planted_final_select(d, cos, threshold, output)}"""
+
+
+def _planted_final_select(d: D, cos: str, threshold: float, output: str) -> str:
+    if output == "pairs":
+        return f"""SELECT {d.big('a.vec_id')} AS id_a, {d.big('b.vec_id')} AS id_b,
        round({cos}, 6) AS cosine,
        (cand.id_b = cand.id_a + 1000000) AS is_planted
 FROM cand
 JOIN nv a ON a.vec_id = cand.id_a
 JOIN nv b ON b.vec_id = cand.id_b
 WHERE {cos} >= {threshold}"""
+    assert output == "stats"
+    return f"""SELECT {d.big('count(*)')} AS n_candidates,
+       {d.big(f'sum(CASE WHEN {cos} >= {threshold} THEN 1 ELSE 0 END)')} AS n_verified,
+       {d.big('sum(CASE WHEN cand.id_b = cand.id_a + 1000000 THEN 1 ELSE 0 END)')} AS n_planted_found,
+       {d.div(f"(SELECT {d.big('count(*) * (count(*) - 1)')} FROM nv)", 2)} AS n_all_pairs
+FROM cand
+JOIN nv a ON a.vec_id = cand.id_a
+JOIN nv b ON b.vec_id = cand.id_b"""
 
 
 def lsh_bucket_expr(d: D, emb: str = "embedding", planes: list | None = None) -> str:

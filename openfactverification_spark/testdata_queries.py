@@ -8,6 +8,7 @@ Spark executes via spark.sql (Catalyst plans are identical to the DataFrame API)
 from __future__ import annotations
 
 from collections.abc import Callable
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,6 +46,19 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
     "embed_neardup_planted_lsh": dual.q_embed_neardup_planted_lsh,
+    # production-regime LSH headline (r2 verdict #3): threshold 0.90, p=12
+    # planes x L=8 tables on the planted-twin fixture — candidates ~linear;
+    # the threshold-0.40 embed_dup_pairs_lsh stays registered as the
+    # documented worst-case anchor
+    "embed_dup_pairs_lsh_hi": partial(
+        dual.q_embed_neardup_planted_lsh,
+        threshold=0.90, planes_per_table=12, n_tables=8,
+    ),
+    # one-row regime measurement: candidate volume vs all-pairs, oracle-paired
+    "embed_lsh_hi_stats": partial(
+        dual.q_embed_neardup_planted_lsh,
+        threshold=0.90, planes_per_table=12, n_tables=8, output="stats",
+    ),
     "embed_lsh_ann": dual.q_embed_lsh_ann,
     "embed_ivf_ann": dual.q_embed_ivf_ann,
     "tpch_q1_pricing": dual.q_tpch_q1,
