@@ -169,6 +169,7 @@ def run_resumable(
     fail_after_epochs: int | None = None,
     fail_mid_epoch: bool = False,
     pack: RulePack = DEFAULT_PACK,
+    sink_format: str = "parquet",
 ) -> list[EpochResult]:
     """Process all not-yet-committed epochs; safe to re-invoke after a crash.
 
@@ -177,10 +178,24 @@ def run_resumable(
     BEFORE the manifest commit of the (fail_after_epochs+1)-th epoch — the
     partial-state case resume must repair idempotently (tests only).
     ``lineage`` identifies the input version (Iceberg snapshot-id in
-    production; any caller-supplied fingerprint here). The parser rule-pack
-    identity (``name@version``) is recorded in every epoch's manifest entry,
-    so a run is auditable down to the segmentation rules it used.
+    production; a SnapLog snapshot-id via catalog.current_lineage; any
+    caller-supplied fingerprint here). The parser rule-pack identity
+    (``name@version``) is recorded in every epoch's manifest entry, so a run
+    is auditable down to the segmentation rules it used.
+
+    ``sink_format="snaplog"`` commits each epoch's routed rows to a SnapLog
+    table at ``{out_dir}/sinks`` via ``overwrite_partitions`` — the atomic,
+    versioned partition commit the north star names (Iceberg
+    ``overwritePartitions``), implemented from scratch in sources/snaplog.py
+    because the Iceberg jar cannot enter this container. Each manifest entry
+    then records the SINK snapshot id it produced, so lineage is end-to-end:
+    input snapshot -> epoch -> output snapshot. Replaying a crashed epoch
+    re-overwrites exactly its (route, p_day) partitions — same idempotence
+    as the parquet dynamic-overwrite path, but the swap is one atomic log
+    append instead of a directory mutation.
     """
+    if sink_format not in ("parquet", "snaplog"):
+        raise ValueError(f"unknown sink_format {sink_format!r}")
     todo = pending_epochs(spark, transcripts, out_dir)
     results: list[EpochResult] = []
 
@@ -199,12 +214,23 @@ def run_resumable(
         # Sink write first (idempotent dynamic overwrite of (route, p_day) —
         # writer-scoped option, not a session-global conf), metrics from the
         # same cached pass, manifest commit last.
-        (
-            routed.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("route", "p_day")
-            .parquet(os.path.join(out_dir, "sinks"))
-        )
+        sink_snapshot = ""
+        if sink_format == "snaplog":
+            from .sources import snaplog
+
+            table = os.path.join(out_dir, "sinks")
+            if snaplog.current_snapshot(spark, table) is None:
+                snap = snaplog.append(spark, table, routed, ["route", "p_day"])
+            else:
+                snap = snaplog.overwrite_partitions(spark, table, routed)
+            sink_snapshot = snap["snapshot_id"]
+        else:
+            (
+                routed.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("route", "p_day")
+                .parquet(os.path.join(out_dir, "sinks"))
+            )
         if fail_mid_epoch and fail_after_epochs is not None and i >= fail_after_epochs:
             routed.unpersist()
             raise RuntimeError(f"injected mid-epoch failure after sink write of {epoch}")
@@ -215,24 +241,32 @@ def run_resumable(
         parsed = sum(per_sink.values())
         routed.unpersist()
 
-        _commit_epoch(
-            out_dir,
-            {
-                "epoch": epoch,
-                "lineage": lineage,
-                "schema_version": SCHEMA_VERSION,
-                "rulepack": pack.identity,
-                "metrics": {"parsed_records": parsed, "routed_per_sink": per_sink},
-            },
-            spark=spark,
-        )
+        entry = {
+            "epoch": epoch,
+            "lineage": lineage,
+            "schema_version": SCHEMA_VERSION,
+            "rulepack": pack.identity,
+            "metrics": {"parsed_records": parsed, "routed_per_sink": per_sink},
+        }
+        if sink_snapshot:
+            entry["sink_snapshot"] = sink_snapshot
+        _commit_epoch(out_dir, entry, spark=spark)
         results.append(EpochResult(epoch, parsed, per_sink))
     return results
 
 
 def sink_counts(spark: SparkSession, out_dir: str) -> dict[str, int]:
-    """Per-route row counts of the committed sink data (for exactness checks)."""
-    df = spark.read.parquet(os.path.join(out_dir, "sinks"))
+    """Per-route row counts of the committed sink data (for exactness checks).
+    Reads through the snapshot log when the sink is a SnapLog table, so the
+    count reflects exactly the committed head — in-flight files are
+    invisible by construction."""
+    from .sources import snaplog
+
+    sinks = os.path.join(out_dir, "sinks")
+    if snaplog.is_snaplog_table(spark, sinks):
+        df = snaplog.read(spark, sinks)
+    else:
+        df = spark.read.parquet(sinks)
     return {
         r["route"]: r["n"]
         for r in df.groupBy("route").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -94,8 +94,10 @@ def write_routed(routed: DataFrame, target: str) -> None:
 
 
 def current_lineage(spark: SparkSession, target: str, fallback: str = "") -> str:
-    """Iceberg snapshot-id when the metadata table exists; caller fingerprint
-    otherwise."""
+    """Iceberg snapshot-id when the metadata table exists; SnapLog snapshot-id
+    when the path is a snapshot-log table (sources/snaplog.py — the
+    from-scratch format standing in for the blocked Iceberg runtime); caller
+    fingerprint otherwise."""
     if is_table_name(target):
         try:
             row = (
@@ -108,4 +110,11 @@ def current_lineage(spark: SparkSession, target: str, fallback: str = "") -> str
                 return f"iceberg-snapshot:{row['snapshot_id']}"
         except Exception:
             pass
+    else:
+        from . import snaplog
+
+        if snaplog.is_snaplog_table(spark, target):
+            sid = snaplog.current_snapshot_id(spark, target)
+            if sid:
+                return f"snaplog-snapshot:{sid}"
     return fallback

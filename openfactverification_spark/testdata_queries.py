@@ -7,10 +7,12 @@ Spark executes via spark.sql (Catalyst plans are identical to the DataFrame API)
 
 from __future__ import annotations
 
+import posixpath
 from collections.abc import Callable
 from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import dual
 from .operators.dual import D
@@ -187,6 +189,65 @@ def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_ops.select_passages(passage_ops.with_scores(chunks))
 
 
+def q_snaplog_overwrite_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SnapLog table format (sources/snaplog.py) driven through the
+    correctness gate: three versioned commits — append days < 16, append the
+    rest, then an atomic ``overwrite_partitions`` replacing the last five
+    days with value-doubled recomputations (the Iceberg
+    ``overwritePartitions`` semantics the north star names) — and a final
+    read through the snapshot log, aggregated per day. The DuckDB oracle
+    states the expected END STATE algebraically (untouched days UNION
+    doubled days), so the whole commit protocol (immutable files, manifest
+    listing, partition-value re-attachment) must compose correctly for the
+    hashes to match. Time travel is asserted cheaply: version 1 must still
+    read as exactly the pre-cut rows."""
+    import shutil
+
+    from .sources import snaplog
+
+    _register_views(spark, sf_dir)
+    table = f"/tmp/ofv_snaplog_q/{posixpath.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(table, ignore_errors=True)
+
+    ev = spark.table("events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    snaplog.append(spark, table, ev.filter(F.col("day") < "2024-01-16"), ["day"])
+    snaplog.append(spark, table, ev.filter(F.col("day") >= "2024-01-16"))
+    patch = ev.filter(F.col("day") >= "2024-01-26").withColumn(
+        "value", F.col("value") * 2
+    )
+    snaplog.overwrite_partitions(spark, table, patch)
+
+    head = snaplog.read(spark, table)
+    v1_days = (
+        snaplog.read(spark, table, version=1)
+        .agg(F.max("day").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert v1_days < "2024-01-16", v1_days
+    return (
+        head.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def snaplog_overwrite_daily_oracle() -> str:
+    """End-state spec of q_snaplog_overwrite_daily's three commits."""
+    return """
+WITH ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, value FROM events),
+final AS (
+  SELECT day, value FROM ev WHERE day < '2024-01-26'
+  UNION ALL
+  SELECT day, value * 2 AS value FROM ev WHERE day >= '2024-01-26'
+)
+SELECT day, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM final GROUP BY day"""
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing into fixed-capacity context windows via ONE
     mapInPandas pass over source-partitioned streams (operators/packing.py).
@@ -207,6 +268,7 @@ TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 TESTDATA_QUERIES["dedup_components"] = q_dedup_components
 TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
+TESTDATA_QUERIES["snaplog_overwrite_daily"] = q_snaplog_overwrite_daily
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
@@ -214,3 +276,4 @@ TESTDATA_ORACLES["multimodal_frames"] = multimodal_frames_oracle()
 TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
 TESTDATA_ORACLES["dedup_components"] = dual.dedup_components_oracle()
 TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
+TESTDATA_ORACLES["snaplog_overwrite_daily"] = snaplog_overwrite_daily_oracle()

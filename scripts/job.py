@@ -28,6 +28,12 @@ def main() -> None:
     ap.add_argument("--input-parquet", default=None, help="read transcripts from parquet")
     ap.add_argument("--skew-pct", type=int, default=0)
     ap.add_argument("--resume", action="store_true", help="checkpointed resumable run")
+    ap.add_argument(
+        "--snaplog-sink",
+        action="store_true",
+        help="commit sinks to a SnapLog table (atomic versioned partition "
+        "overwrites + snapshot-id lineage; sources/snaplog.py)",
+    )
     ap.add_argument("--streaming", action="store_true", help="structured-streaming mode")
     args = ap.parse_args()
 
@@ -66,13 +72,27 @@ def main() -> None:
         spark.stop()
         return
 
+    lineage = ""
     if args.input_parquet:
-        transcripts = spark.read.parquet(args.input_parquet)
+        from openfactverification_spark.sources import catalog, snaplog
+
+        if snaplog.is_snaplog_table(spark, args.input_parquet):
+            # versioned input: read the committed head, carry its snapshot id
+            transcripts = snaplog.read(spark, args.input_parquet)
+            lineage = catalog.current_lineage(spark, args.input_parquet)
+        else:
+            transcripts = spark.read.parquet(args.input_parquet)
     else:
         transcripts = transcripts_df(spark, args.n_turns, skew_pct=args.skew_pct)
 
     if args.resume:
-        results = ckpt.run_resumable(spark, transcripts, args.out)
+        results = ckpt.run_resumable(
+            spark,
+            transcripts,
+            args.out,
+            lineage=lineage,
+            sink_format="snaplog" if args.snaplog_sink else "parquet",
+        )
         for r in results:
             print(f"epoch {r.epoch}: {r.parsed_records} records {r.routed_per_sink}")
     else:

@@ -73,3 +73,41 @@ def test_manifest_metrics_match_sinks(spark, tmp_path):
         for route, n in entry["metrics"]["routed_per_sink"].items():
             totals[route] = totals.get(route, 0) + n
     assert totals == ckpt.sink_counts(spark, out_dir)
+
+
+def test_snaplog_sink_crash_resume_exactly_once(spark, tmp_path):
+    """sink_format="snaplog": per-epoch atomic overwrite_partitions commits,
+    sink snapshot-id lineage in every manifest entry, and exact per-sink
+    counts across a mid-epoch crash-resume (the committed-but-unmanifested
+    epoch is replayed as an idempotent partition overwrite)."""
+    from openfactverification_spark.sources import snaplog
+
+    transcripts = transcripts_df(spark, N_TURNS)
+
+    ref_dir = str(tmp_path / "ref")
+    ckpt.run_resumable(spark, transcripts, ref_dir)
+    ref_counts = ckpt.sink_counts(spark, ref_dir)
+
+    out_dir = str(tmp_path / "snap")
+    with pytest.raises(RuntimeError, match="mid-epoch"):
+        ckpt.run_resumable(
+            spark, transcripts, out_dir,
+            fail_after_epochs=1, fail_mid_epoch=True, sink_format="snaplog",
+        )
+    resumed = ckpt.run_resumable(spark, transcripts, out_dir, sink_format="snaplog")
+    assert len(resumed) == 4
+    # counts through the log head equal the uninterrupted parquet run
+    assert ckpt.sink_counts(spark, out_dir) == ref_counts
+
+    # end-to-end lineage: every manifest entry names the sink snapshot it
+    # produced, and each recorded snapshot is a real log entry
+    table = f"{out_dir}/sinks"
+    hist = {h["snapshot_id"]: h for h in snaplog.history(spark, table)}
+    entries = ckpt.committed_epochs(out_dir)
+    assert len(entries) == 5
+    for e in entries.values():
+        assert e["sink_snapshot"] in hist
+    # 6 commits: epoch0 append + crashed epoch1 + replayed epoch1 + epochs 2-4
+    ops = [h["operation"] for h in snaplog.history(spark, table)]
+    assert ops[0] == "append" and set(ops[1:]) == {"overwrite_partitions"}
+    assert len(ops) == 6

@@ -1,0 +1,208 @@
+"""SnapLog snapshot-log table format (sources/snaplog.py): append /
+overwrite_partitions / time travel / rollback / crash-safety / concurrent
+commit race / manifest-level pruning / expire GC / lineage wiring."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from openfactverification_spark.sources import catalog, snaplog
+
+
+def _events(spark, n=300, day_mod=3, tag=""):
+    """Deterministic little frame: n rows over `day_mod` distinct days."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % day_mod).cast("int")).alias("day"),
+            (F.col("id") * 7 % 100).cast("double").alias("value"),
+            F.concat(F.lit(tag), F.lit("e"), F.col("id")).alias("payload"),
+        )
+    )
+
+
+def _counts(df):
+    return {
+        str(r["day"]): r["n"]
+        for r in df.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_append_roundtrip_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df1 = _events(spark, 300, tag="a")
+    s1 = snaplog.append(spark, t, df1, partition_cols=["day"])
+    df2 = _events(spark, 90, tag="b")
+    s2 = snaplog.append(spark, t, df2)
+
+    # latest = union; schema (incl. typed partition col) round-trips
+    back = snaplog.read(spark, t)
+    assert back.count() == 390
+    assert dict(back.dtypes)["day"] == "date"
+    assert _counts(back) == _counts(df1.unionByName(df2))
+
+    # time travel by snapshot id and by version
+    old = snaplog.read(spark, t, snapshot_id=s1["snapshot_id"])
+    assert old.count() == 300
+    assert {r["payload"][0] for r in old.select(F.substring("payload", 1, 1).alias("payload")).distinct().collect()} == {"a"}
+    assert snaplog.read(spark, t, version=2).count() == 390
+    assert s2["parent_id"] == s1["snapshot_id"]
+
+    hist = snaplog.history(spark, t)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[-1]["operation"] == "append"
+
+
+def test_overwrite_partitions_exact_semantics(spark, tmp_path):
+    """Replaces exactly the partitions present in the frame; equality is
+    checked against the plain-DataFrame recomputation of the same semantics
+    (the dynamic-overwrite oracle)."""
+    t = str(tmp_path / "tbl")
+    base = _events(spark, 300, tag="a")  # days 01..03, 100 rows each
+    snaplog.append(spark, t, base, partition_cols=["day"])
+
+    # new data only for day 2024-01-02 (58 rows) — other days must survive
+    patch = _events(spark, 58, day_mod=1, tag="p").withColumn(
+        "day", F.lit("2024-01-02").cast("date")
+    )
+    s = snaplog.overwrite_partitions(spark, t, patch)
+    assert s["summary"]["replaced_partitions"] == 1
+
+    expected = base.filter(F.col("day") != "2024-01-02").unionByName(patch)
+    got = snaplog.read(spark, t)
+    assert _counts(got) == _counts(expected)
+    got_d2 = got.filter(F.col("day") == "2024-01-02")
+    assert got_d2.count() == 58
+    assert {r["p"] for r in got_d2.select(F.substring("payload", 1, 1).alias("p")).distinct().collect()} == {"p"}
+
+    # idempotent re-run converges (crash-replay of the same commit)
+    snaplog.overwrite_partitions(spark, t, patch)
+    assert _counts(snaplog.read(spark, t)) == _counts(expected)
+
+
+def test_crash_before_log_commit_leaves_previous_snapshot_live(spark, tmp_path):
+    """Write-ahead ordering: data files land before the log entry, so a crash
+    between the two leaves orphan files and an intact previous snapshot."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 100), partition_cols=["day"])
+
+    # simulate the crash: write data files but never commit the manifest
+    fs = snaplog._Fs(spark, t)
+    snaplog._write_data_files(_events(spark, 999, tag="orphan"), fs, ["day"])
+
+    assert len(snaplog.history(spark, t)) == 1
+    assert snaplog.read(spark, t).count() == 100  # orphans invisible
+
+    # and the table still accepts new commits afterwards
+    snaplog.append(spark, t, _events(spark, 50, tag="c"))
+    assert snaplog.read(spark, t).count() == 150
+
+
+def test_concurrent_commit_race_retries_and_keeps_both(spark, tmp_path):
+    """Losing the create(v{N}.json) race must re-read the new head and retry:
+    both writers' rows end up live, lineage is a chain (optimistic
+    concurrency). The race is forced by grabbing the loser's version number
+    first via a monkeypatched create_exclusive."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 100), partition_cols=["day"])
+
+    real_create = snaplog._Fs.create_exclusive
+    state = {"intruded": False}
+
+    def create_with_intruder(self, p, payload):
+        if not state["intruded"]:
+            state["intruded"] = True
+            # another writer lands v2 first, with its own files
+            snaplog.append(spark, t, _events(spark, 40, tag="w2"))
+        return real_create(self, p, payload)
+
+    try:
+        snaplog._Fs.create_exclusive = create_with_intruder
+        snaplog.append(spark, t, _events(spark, 60, tag="w1"))
+    finally:
+        snaplog._Fs.create_exclusive = real_create
+
+    hist = snaplog.history(spark, t)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    # chain: each parent is the previous snapshot id
+    assert hist[1]["parent_id"] == hist[0]["snapshot_id"]
+    assert hist[2]["parent_id"] == hist[1]["snapshot_id"]
+    assert snaplog.read(spark, t).count() == 200
+
+
+def test_manifest_level_partition_pruning(spark, tmp_path):
+    """A partition filter prunes at the manifest: Spark's inputFiles must only
+    name files of the selected day."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 300), partition_cols=["day"])
+
+    pruned = snaplog.read(spark, t, partition_filter={"day": "2024-01-02"})
+    assert pruned.count() == 100
+    files = pruned.inputFiles()
+    assert files and all("day=2024-01-02" in f for f in files)
+
+    full_files = snaplog.read(spark, t).inputFiles()
+    assert len(files) < len(full_files)
+
+    with pytest.raises(ValueError):
+        snaplog.read(spark, t, partition_filter={"value": 1.0})
+
+
+def test_rollback_and_expire(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = snaplog.append(spark, t, _events(spark, 100, tag="a"), partition_cols=["day"])
+    snaplog.append(spark, t, _events(spark, 50, tag="b"))
+    s3 = snaplog.rollback(spark, t, s1["snapshot_id"])
+    assert s3["operation"] == "rollback"
+    assert snaplog.read(spark, t).count() == 100  # b's rows gone from head
+    # ...but still time-travelable until expiry
+    assert snaplog.read(spark, t, version=2).count() == 150
+
+    gone = snaplog.expire_snapshots(spark, t, keep_last=1)
+    assert gone["expired_snapshots"] == 2
+    assert gone["deleted_files"] > 0  # b's files were unreachable from head
+    assert snaplog.read(spark, t).count() == 100  # head intact after GC
+    with pytest.raises(ValueError):
+        snaplog.read(spark, t, version=2)
+
+
+def test_lineage_wiring_and_detection(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    plain = str(tmp_path / "plain")
+    os.makedirs(plain)
+    assert catalog.current_lineage(spark, plain, fallback="fp") == "fp"
+
+    s = snaplog.append(spark, t, _events(spark, 30), partition_cols=["day"])
+    assert snaplog.is_snaplog_table(spark, t)
+    assert not snaplog.is_snaplog_table(spark, plain)
+    lin = catalog.current_lineage(spark, t, fallback="fp")
+    assert lin == f"snaplog-snapshot:{s['snapshot_id']}"
+
+    # deterministic content-derived ids: same parent + same file set -> same id
+    fs = snaplog._Fs(spark, t)
+    snap = snaplog._load_snapshot(fs, 1)
+    assert snaplog._snapshot_id(None, snap["files"]) == snap["snapshot_id"]
+
+
+def test_snapshot_json_is_self_describing(spark, tmp_path):
+    """The log entry carries everything a reader needs: schema, partition
+    spec, full file listing with hive partition values."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 90), partition_cols=["day"])
+    with open(os.path.join(t, "_snaplog", "v1.json")) as f:
+        snap = json.load(f)
+    assert snap["partition_cols"] == ["day"]
+    assert snap["summary"]["total_files"] == len(snap["files"])
+    days = {f["partition"]["day"] for f in snap["files"]}
+    assert days == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    schema = json.loads(snap["schema"])
+    assert {f["name"] for f in schema["fields"]} == {"event_id", "day", "value", "payload"}
