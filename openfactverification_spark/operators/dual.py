@@ -562,6 +562,120 @@ SELECT decile,
 FROM gated GROUP BY decile"""
 
 
+def q_split_train_holdout(d: D, test_pct: int = 5, val_pct: int = 5) -> str:
+    """Contamination-safe train/val/test split, keyed on CONTENT, not id:
+    the split bucket is a hash of the normalized text, so byte-identical
+    documents can never straddle splits (the train→test leak that id- or
+    rand()-keyed splits allow whenever the corpus still contains dupes —
+    the same failure mode q_decontaminate_eval measures across corpora).
+    Deterministic: no rand(), so the split is byte-reproducible across runs,
+    engines, and parallelism levels, and downstream shards can re-derive
+    membership instead of persisting it.
+
+    Output is the audit, not the rows: per-split counts + id-sum membership
+    checksum, plus n_leaky = number of distinct normalized texts assigned to
+    more than one split — structurally 0, and the oracle hash-match proves
+    both engines agree on every assignment. Scale shape: one projection for
+    the bucket, one groupBy(split) — the gate rides the scan at 10^12 docs;
+    the leak audit groups by text-hash (bounded by distinct texts)."""
+    norm = "lower(trim(text))"
+    bucket = f"({d.h7(norm)} % 100)"
+    split = (
+        f"CASE WHEN bucket < {test_pct} THEN 'test' "
+        f"WHEN bucket < {test_pct + val_pct} THEN 'val' ELSE 'train' END"
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, {d.h7(norm)} AS texth, {bucket} AS bucket FROM documents
+),
+s AS (
+  SELECT doc_id, texth, {split} AS split FROM b
+),
+leaks AS (
+  SELECT {d.big('count(*)')} AS n_leaky
+  FROM (SELECT texth FROM s GROUP BY texth HAVING count(DISTINCT split) > 1) t
+)
+SELECT split,
+       {d.big('count(*)')} AS n_docs,
+       {d.big('sum(doc_id)')} AS id_sum,
+       round(cast(count(*) as double) / (SELECT {d.big('count(*)')} FROM documents), 4)
+         AS frac,
+       (SELECT n_leaky FROM leaks) AS n_leaky
+FROM s GROUP BY split"""
+
+
+def q_mix_domains(d: D) -> str:
+    """Domain-mixture calibration: downsample per-language strata to a target
+    mixture (the data-mixing step every corpus assembly runs before
+    training; targets here re-balance the en-heavy fixture). The feasible
+    corpus size is S = min over langs(n_lang / target_lang) — the largest
+    total for which every stratum can meet its target without upsampling —
+    and each stratum keeps floor(target * S) documents.
+
+    WHICH documents: the hash-ranked prefix (row_number over h7(text) within
+    the stratum), so membership is deterministic and byte-reproducible, and
+    growing the quota only ADDS documents (nested prefixes — a larger mix
+    reuses the smaller one's shards). Scale shape: the per-stratum window
+    ranks within lang partitions (bounded count, parallel across strata; a
+    skewed stratum would use the salted two-phase rank of operators/skew.py),
+    everything else is tiny aggregates.
+
+    Output per lang: corpus count, quota, kept membership checksum, realized
+    fraction of the mixed corpus — the calibration audit."""
+    tgt = "CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.20 WHEN 'es' THEN 0.20 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 END"
+    return f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n, {tgt} AS t FROM documents GROUP BY lang
+),
+scale AS (
+  SELECT min(n / t) AS s FROM stats
+),
+quota AS (
+  SELECT lang, n, cast(floor(t * s) as bigint) AS keep_n FROM stats CROSS JOIN scale
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {d.h7('text')}, doc_id) AS rnk
+  FROM documents
+),
+kept AS (
+  SELECT r.doc_id, r.lang FROM ranked r JOIN quota q ON r.lang = q.lang
+  WHERE r.rnk <= q.keep_n
+)
+SELECT q.lang,
+       {d.big('q.n')} AS n_corpus,
+       {d.big('q.keep_n')} AS n_kept,
+       {d.big('sum(k.doc_id)')} AS kept_id_sum,
+       round(cast(q.keep_n as double) / (SELECT sum(keep_n) FROM quota), 4)
+         AS realized_frac
+FROM quota q JOIN kept k ON k.lang = q.lang
+GROUP BY q.lang, q.n, q.keep_n"""
+
+
+def q_epoch_shuffle(d: D, epoch: int = 1, n_out: int = 100) -> str:
+    """Deterministic epoch shuffle: training-order permutation derived from
+    h7(doc_id : epoch) — a different (but reproducible) global order every
+    epoch with NO rand() and NO persisted permutation table; any worker can
+    re-derive its shard. The query emits the first n_out positions as the
+    checkable prefix: ORDER BY shuffle-key LIMIT n (TakeOrderedAndProject —
+    a per-partition top-n + tiny merge, no global sort) rather than a
+    row_number over the whole corpus (single-partition window — the shape
+    that dies at 10^12 rows; a FULL epoch ordering at scale is Spark's
+    range-partitioned sort on the same key). Different epochs are verified
+    disjoint-order by tests/test_verify_ops.py."""
+    sk = d.h7(f"concat(cast(doc_id as string), ':', '{epoch}')")
+    return f"""
+WITH k AS (
+  SELECT doc_id, {sk} AS sk FROM documents
+),
+top AS (
+  SELECT doc_id, sk FROM k ORDER BY sk, doc_id LIMIT {n_out}
+)
+SELECT cast(row_number() OVER (ORDER BY sk, doc_id) as int) AS pos,
+       {d.big('doc_id')} AS doc_id, sk
+FROM top"""
+
+
 def q_doc_fingerprint(d: D, n: int = 4) -> str:
     """Rolling-hash document fingerprint: min/max shingle hash + distinct-shingle
     count (winnowing-style content signature)."""
@@ -2185,6 +2299,25 @@ def q_embed_kmeans_converged(d: D, n_cells: int = 8, rounds: int = 3) -> str:
     Scale: per round one scan of the vectors, one (cells x dim)-row exchange,
     and a tiny single-row matrix rebuild — the classic centroids-on-driver
     Lloyd's shape with the driver replaced by a one-row broadcast."""
+    ctes, final_a = _kmeans_chain(d, n_cells, rounds)
+    ctes.append(
+        f"members AS (SELECT cell_id, count(*) AS n_members FROM {final_a} GROUP BY cell_id)"
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT cast(g.cell_id as int) AS cell_id,
+       cast(g.pos as int) AS pos,
+       g.val AS centroid_val,
+       {d.big('coalesce(m.n_members, 0)')} AS n_members
+FROM g{rounds} g LEFT JOIN members m ON g.cell_id = m.cell_id"""
+
+
+def _kmeans_chain(d: D, n_cells: int, rounds: int) -> tuple[list[str], str]:
+    """The fixed-round Lloyd's CTE chain shared by q_embed_kmeans_converged
+    and q_embed_ivf_ann_refined: returns (ctes, last-assignment CTE name);
+    after the chain, ``c{rounds}`` is the single-row refined centroid matrix
+    and ``g{rounds}`` its (cell_id, pos, val) long form."""
     dim = H.EMBED_DIM
     cents = H.IVF_CENTROID_POOL[:n_cells]
     centm = d.arr([d.arr(row) for row in cents])
@@ -2255,17 +2388,93 @@ def q_embed_kmeans_converged(d: D, n_cells: int = 8, rounds: int = 3) -> str:
             f"c{r} AS (SELECT {matrix} AS cm FROM (SELECT {ordered_vals} AS vals FROM g{r}) s{r})"
         )
         prev = f"c{r}"
+    return ctes, f"a{rounds}"
+
+
+def q_embed_ivf_ann_refined(
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    n_cells: int = 8,
+    rounds: int = 3,
+    nprobe: int = 2,
+) -> str:
+    """IVF ANN over K-MEANS-REFINED centroids — the composition
+    q_embed_ivf_ann's docstring promises ('production: k-means-refined'):
+    the fixed-round Lloyd's chain (_kmeans_chain) produces the centroid
+    matrix, and the IVF probe/search runs against it. One template, both
+    engines, so the DuckDB oracle re-derives the refinement AND the search.
+
+    The Spark RUNNER (testdata_queries.q_embed_ivf_ann_refined_runner) does
+    not execute this monolith: it collects the converged centroids (a
+    (cells x dim) handful of doubles — the classic Lloyd's driver round-trip)
+    from q_embed_kmeans_converged and feeds them to q_embed_ivf_ann as
+    constant-folded literals. That is the production shape: the chain CTE
+    here is multi-referenced per round, and Spark's CTE inlining would
+    re-execute each round's assignment scan ~2x per round, where the
+    collect-then-literal split runs each round once and keeps the search
+    projection codegen'd. Hash-equality between the two is exactly the
+    refined-centroid determinism guarantee (6 dp rounding per round) the
+    kmeans twin test pins."""
+    ctes, _ = _kmeans_chain(d, n_cells, rounds)
+    prod = (
+        f"cast({d.elem('embedding', 'j')} as double) * "
+        f"{d.elem(d.elem('cm', 'i'), 'j')}"
+    )
+    darr = d.transform(
+        d.seq(0, n_cells - 1), "i",
+        d.fold_sum(d.transform(d.seq(0, H.EMBED_DIM - 1), "j", prod)),
+    )
+    if d.spark:
+        assign_inner = (
+            "SELECT vec_id, embedding, nrm, cell_id, cdot\n"
+            "    FROM dvals LATERAL VIEW posexplode(darr) t AS cell_id, cdot"
+        )
+    else:
+        assign_inner = (
+            "SELECT vec_id, embedding, nrm, cast(i.i as int) AS cell_id, "
+            "darr[i.i + 1] AS cdot\n"
+            f"    FROM dvals, (SELECT unnest(range(0, {n_cells})) AS i) i"
+        )
+    cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    ctes.append(cosine_cte(d))
     ctes.append(
-        f"members AS (SELECT cell_id, count(*) AS n_members FROM a{rounds} GROUP BY cell_id)"
+        f"""dvals AS (
+  SELECT vec_id, embedding, nrm, {darr} AS darr
+  FROM nv CROSS JOIN c{rounds}
+)"""
     )
     body = ",\n".join(ctes)
     return f"""
-WITH {body}
-SELECT cast(g.cell_id as int) AS cell_id,
-       cast(g.pos as int) AS pos,
-       g.val AS centroid_val,
-       {d.big('coalesce(m.n_members, 0)')} AS n_members
-FROM g{rounds} g LEFT JOIN members m ON g.cell_id = m.cell_id"""
+WITH {body},
+assign AS (
+  SELECT vec_id, embedding, nrm, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, cell_id) AS crank
+  FROM (
+    {assign_inner}
+  ) t
+),
+data AS (
+  SELECT vec_id, embedding, nrm, cell_id FROM assign WHERE crank = 1
+),
+probes AS (
+  SELECT vec_id, cell_id FROM assign WHERE crank <= {nprobe} AND vec_id < {n_queries}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, c.cell_id AS cell,
+         round({cos}, 6) AS cosine
+  FROM probes p
+  JOIN nv q ON q.vec_id = p.vec_id
+  JOIN data c ON c.cell_id = p.cell_id AND c.vec_id <> p.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cell, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
+       cast(cell as int) AS cell, cosine, cast(rnk as int) AS rnk
+FROM ranked WHERE rnk <= {k}"""
 
 
 def q_tokenize_bpe(d: D) -> str:

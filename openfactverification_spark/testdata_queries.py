@@ -39,6 +39,9 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "training_ready": dual.q_training_ready,
     "sample_stratified": dual.q_sample_stratified,
     "sample_quality_weighted": dual.q_sample_quality_weighted,
+    "split_train_holdout": dual.q_split_train_holdout,
+    "mix_domains": dual.q_mix_domains,
+    "epoch_shuffle": dual.q_epoch_shuffle,
     "text_stats": dual.q_text_stats,
     "clean_text": dual.q_clean_text,
     "text_lang_id": dual.q_lang_id,
@@ -189,6 +192,32 @@ def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_ops.select_passages(passage_ops.with_scores(chunks))
 
 
+def q_embed_ivf_ann_refined_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on k-means-REFINED centroids, executed the production way:
+    run the fixed-round Lloyd's refinement (q_embed_kmeans_converged), collect
+    the converged matrix — (cells x dim) doubles, the classic Lloyd's
+    driver round-trip, NOT a data collect — and search with those centroids
+    as constant-folded literals (q_embed_ivf_ann). The DuckDB oracle
+    (dual.q_embed_ivf_ann_refined) re-derives refinement AND search in one
+    composed SQL, so the hash match proves the collected centroids are
+    bit-identical to the in-SQL chain (the 6 dp per-round rounding
+    guarantee) and that the search is centroid-for-centroid the same."""
+    from .functions import hashing as H
+
+    _register_views(spark, sf_dir)
+    n_cells, rounds = 8, 3
+    rows = spark.sql(
+        dual.q_embed_kmeans_converged(_SPARK, n_cells=n_cells, rounds=rounds)
+    ).collect()
+    got = {(r["cell_id"], r["pos"]): r["centroid_val"] for r in rows}
+    cents = [
+        [got[(c, j)] for j in range(H.EMBED_DIM)] for c in range(n_cells)
+    ]
+    return spark.sql(
+        dual.q_embed_ivf_ann(_SPARK, k=3, n_queries=30, nprobe=2, centroids=cents)
+    )
+
+
 def q_snaplog_overwrite_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SnapLog table format (sources/snaplog.py) driven through the
     correctness gate: three versioned commits — append days < 16, append the
@@ -269,6 +298,7 @@ TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 TESTDATA_QUERIES["dedup_components"] = q_dedup_components
 TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
 TESTDATA_QUERIES["snaplog_overwrite_daily"] = q_snaplog_overwrite_daily
+TESTDATA_QUERIES["embed_ivf_ann_refined"] = q_embed_ivf_ann_refined_runner
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
@@ -277,3 +307,6 @@ TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
 TESTDATA_ORACLES["dedup_components"] = dual.dedup_components_oracle()
 TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
 TESTDATA_ORACLES["snaplog_overwrite_daily"] = snaplog_overwrite_daily_oracle()
+TESTDATA_ORACLES["embed_ivf_ann_refined"] = dual.q_embed_ivf_ann_refined(
+    _DUCK, k=3, n_queries=30, n_cells=8, rounds=3, nprobe=2
+)

@@ -129,3 +129,57 @@ def test_set_ops_formulation_equivalence(spark):
     assert row["n_early_only"] == n_early_only
     assert row["n_users"] == row["n_both"] + row["n_early_only"] + row["n_late_only"]
     spark.conf.set("spark.ofv.registered_sf", "")
+
+
+def test_split_leakfree_epoch_disjoint_mix_nested(spark):
+    """Training-assembly trio (dual.py): (1) the content-keyed split keeps
+    planted exact dupes in ONE split (n_leaky = 0 structurally, and the dupes
+    land together); (2) epoch_shuffle gives different permutations per epoch;
+    (3) mix_domains quotas are nested prefixes: a bigger quota strictly
+    extends the smaller membership."""
+    from openfactverification_spark.operators import dual
+    from openfactverification_spark.operators.dual import D
+    from openfactverification_spark.sources.tables import table_path
+
+    _s = D("spark")
+    docs = spark.read.parquet(table_path("/root/testdata/sf0.001", "documents"))
+    # plant exact duplicates: copy 40 docs under fresh ids
+    dupes = docs.limit(40).selectExpr(
+        "doc_id + 1000000 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.unionByName(dupes).createOrReplaceTempView("documents")
+
+    rows = spark.sql(dual.q_split_train_holdout(_s)).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count() + 40
+    assert all(r["n_leaky"] == 0 for r in rows)
+    # every planted dupe shares its original's split (content-keyed buckets)
+    pair_splits = spark.sql(f"""
+        WITH s AS (SELECT doc_id, {dual.H.h7('lower(trim(text))', 'spark')} % 100 AS b
+                   FROM documents)
+        SELECT count(*) AS n FROM s a JOIN s b ON a.doc_id + 1000000 = b.doc_id
+        WHERE a.b <> b.b""").first()
+    assert pair_splits["n"] == 0
+
+    e1 = [r["doc_id"] for r in spark.sql(dual.q_epoch_shuffle(_s, epoch=1)).collect()]
+    e2 = [r["doc_id"] for r in spark.sql(dual.q_epoch_shuffle(_s, epoch=2)).collect()]
+    assert len(e1) == len(e2) == 100
+    assert e1 != e2  # different epoch, different order
+
+    kept_sql = """
+        WITH stats AS (SELECT lang, count(*) AS n,
+               CASE lang WHEN 'en' THEN 0.30 WHEN 'de' THEN 0.20 WHEN 'es' THEN 0.20
+                         WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 END AS t
+               FROM documents GROUP BY lang),
+        scale AS (SELECT min(n / t) * {f} AS s FROM stats),
+        quota AS (SELECT lang, cast(floor(t * s) as bigint) AS keep_n
+                  FROM stats CROSS JOIN scale),
+        ranked AS (SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rnk
+                  FROM documents)
+        SELECT r.doc_id FROM ranked r JOIN quota q ON r.lang = q.lang
+        WHERE r.rnk <= q.keep_n"""
+    h = dual.H.h7("text", "spark")
+    small = {r["doc_id"] for r in spark.sql(kept_sql.format(f=0.5, h=h)).collect()}
+    large = {r["doc_id"] for r in spark.sql(kept_sql.format(f=1.0, h=h)).collect()}
+    assert small < large  # strict nested-prefix membership
+    spark.conf.set("spark.ofv.registered_sf", "")
