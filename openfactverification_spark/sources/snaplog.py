@@ -253,13 +253,25 @@ def _commit(
     partition_cols: list[str],
     surviving: "callable",
     summary_extra: dict | None = None,
+    require_parent: str | None = None,
 ) -> dict:
     """Optimistic-concurrency commit loop: read head, build the next snapshot,
     atomically create v{N+1}.json; on loss re-read and retry (the new data
-    files stay valid — only the listing is rebuilt against the new head)."""
+    files stay valid — only the listing is rebuilt against the new head).
+    ``require_parent`` pins the commit to a specific head snapshot: if any
+    other commit lands first, raise instead of retrying — needed by
+    operations (compaction) whose surviving-file computation was derived
+    from that exact head and would silently drop a concurrent writer's
+    files if replayed against a newer one."""
     for _ in range(_COMMIT_RETRIES):
         vs = _versions(fs)
         head = _load_snapshot(fs, vs[-1]) if vs else None
+        if require_parent is not None and (
+            head is None or head["snapshot_id"] != require_parent
+        ):
+            raise CommitConflict(
+                f"head moved past required parent {require_parent} on {fs.root}"
+            )
         if head is not None and head["partition_cols"] != partition_cols:
             raise ValueError(
                 f"partition spec mismatch: table has {head['partition_cols']}, "
@@ -304,9 +316,12 @@ def append(
     table: str,
     df: DataFrame,
     partition_cols: list[str] | None = None,
+    summary_extra: dict | None = None,
 ) -> dict:
     """Append df as a new snapshot (parent files + new files). First append
-    creates the table and fixes its partition spec."""
+    creates the table and fixes its partition spec. ``summary_extra`` lands
+    in the snapshot summary — e.g. a streaming sink's batch id, which makes
+    the log itself the transaction table for exactly-once replay skips."""
     partition_cols = list(partition_cols or [])
     _data_schema(df, partition_cols)
     fs = _Fs(spark, table)
@@ -321,6 +336,7 @@ def append(
         schema_json=_logical_schema(df),
         partition_cols=partition_cols,
         surviving=lambda files: list(files),
+        summary_extra=summary_extra,
     )
 
 
@@ -439,10 +455,18 @@ def read(
             if all(f["partition"].get(c) in vs for c, vs in norm.items())
         ]
 
+    return _frame_for_files(spark, fs, schema, pcols, ptypes, files)
+
+
+def _frame_for_files(
+    spark: SparkSession, fs: _Fs, schema, pcols, ptypes, files: list[dict]
+) -> DataFrame:
+    """Explicit file list -> DataFrame with typed partition columns attached
+    (one scan per partition-value group, partition values as foldable
+    literals)."""
     if not files:
         return spark.createDataFrame([], schema)
 
-    # group by partition tuple; one scan per group with literal partition cols
     groups: dict[tuple, list[str]] = {}
     for f in files:
         key = tuple(f["partition"].get(c) for c in pcols)
@@ -460,6 +484,62 @@ def read(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def compact(spark: SparkSession, table: str, min_files: int = 2) -> dict | None:
+    """Small-file compaction as a snapshot: rewrite every partition holding
+    >= min_files files into one file, committed as a single atomic
+    ``rewrite`` snapshot (same rows, fewer files — streaming appends and
+    per-epoch commits accrete small files; readers of the head see the old
+    layout or the new one, never a mix, and the pre-compaction state stays
+    time-travelable until expire_snapshots). Untouched partitions keep their
+    existing immutable files. Returns the new snapshot, or None if nothing
+    qualified.
+
+    Scale shape: the rewrite reads only the affected partitions' files and
+    repartitions BY the partition columns, so each output partition is
+    produced by one task writing one file — compaction work is proportional
+    to the small-file data, not the table."""
+    head = current_snapshot(spark, table)
+    if head is None:
+        raise ValueError(f"compact on non-existent table {table}")
+    pcols = head["partition_cols"]
+    schema = T.StructType.fromJson(json.loads(head["schema"]))
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    groups: dict[tuple, list[dict]] = {}
+    for f in head["files"]:
+        groups.setdefault(tuple(sorted(f["partition"].items())), []).append(f)
+    todo = {k: v for k, v in groups.items() if len(v) >= min_files}
+    if not todo:
+        return None
+
+    fs = _Fs(spark, table)
+    victims = [f for fl in todo.values() for f in fl]
+    df = _frame_for_files(spark, fs, schema, pcols, ptypes, victims)
+    if pcols:
+        df = df.repartition(*[F.col(c) for c in pcols])
+    new_files, _ = _write_data_files(df, fs, pcols)
+    touched = set(todo)
+
+    def surviving(files: list[dict]) -> list[dict]:
+        return [
+            f for f in files if tuple(sorted(f["partition"].items())) not in touched
+        ]
+
+    return _commit(
+        fs,
+        operation="rewrite",
+        new_files=new_files,
+        schema_json=head["schema"],
+        partition_cols=pcols,
+        surviving=surviving,
+        summary_extra={
+            "compacted_partitions": len(todo),
+            "compacted_files_in": len(victims),
+        },
+        require_parent=head["snapshot_id"],
+    )
 
 
 def expire_snapshots(spark: SparkSession, table: str, keep_last: int = 1) -> dict:

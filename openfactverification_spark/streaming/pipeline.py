@@ -118,6 +118,52 @@ def run_to_sinks_stream(
     return writer.start()
 
 
+def run_to_sinks_stream_snaplog(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming sink: each micro-batch is ONE atomic SnapLog
+    append whose snapshot summary records the batch id, so the snapshot log
+    doubles as the sink-side transaction table (the txn-id pattern
+    transactional-sink connectors use). foreachBatch is at-least-once — on
+    restart the same batch id replays — and the replay path checks committed
+    batch ids in the log and SKIPS, so rows land exactly once even though the
+    streaming checkpoint and the sink commit are separate stores. Compare
+    run_to_sinks_stream's parquet path, which gets idempotence by
+    batch_id-partition overwrite (replace on replay); here the replay is a
+    metadata no-op and every batch boundary is atomic + time-travelable.
+    Per-batch work: one read of the log dir listing (driver-side, tiny) +
+    one append commit."""
+    from ..sources import snaplog
+
+    routed = stream_routed(spark, transcripts)
+    table = f"{out_dir}/sinks"
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = {
+            h["summary"].get("stream_batch_id") for h in snaplog.history(spark, table)
+        }
+        if batch_id in committed:
+            return  # replay of an already-committed batch: exactly-once skip
+        snaplog.append(
+            spark,
+            table,
+            batch_df.withColumn("ts_day", F.to_date("ts")),
+            ["route", "ts_day"],
+            summary_extra={"stream_batch_id": batch_id},
+        )
+
+    writer = routed.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def session_summary(
     routed: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
 ) -> DataFrame:

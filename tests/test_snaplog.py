@@ -206,3 +206,103 @@ def test_snapshot_json_is_self_describing(spark, tmp_path):
     assert days == {"2024-01-01", "2024-01-02", "2024-01-03"}
     schema = json.loads(snap["schema"])
     assert {f["name"] for f in schema["fields"]} == {"event_id", "day", "value", "payload"}
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Three appends -> partitions hold 3 files each; compact rewrites them to
+    one file per partition in ONE atomic rewrite snapshot, rows identical,
+    pre-compaction state still time-travelable."""
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        snaplog.append(spark, t, _events(spark, 90, tag=f"c{i}"), partition_cols=["day"])
+    before = snaplog.read(spark, t)
+    n_before_files = len(before.inputFiles())
+    assert n_before_files >= 9  # 3 days x 3 commits
+
+    snap = snaplog.compact(spark, t)
+    assert snap["operation"] == "rewrite"
+    assert snap["summary"]["compacted_partitions"] == 3
+    after = snaplog.read(spark, t)
+    assert len(after.inputFiles()) == 3  # one file per day
+    assert _counts(after) == _counts(before)
+    assert after.count() == 270
+    # old layout still reachable by version
+    assert len(snaplog.read(spark, t, version=3).inputFiles()) == n_before_files
+    # nothing left to compact
+    assert snaplog.compact(spark, t) is None
+
+
+def test_compact_aborts_if_head_moves(spark, tmp_path):
+    """Compaction derived from head H must refuse to commit once another
+    writer lands H+1 (a retry would silently drop the concurrent files)."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 90, tag="a"), partition_cols=["day"])
+    snaplog.append(spark, t, _events(spark, 90, tag="b"))
+
+    real_create = snaplog._Fs.create_exclusive
+    state = {"intruded": False}
+
+    def create_with_intruder(self, p, payload):
+        if not state["intruded"] and payload.get("operation") == "rewrite":
+            state["intruded"] = True
+            snaplog.append(spark, t, _events(spark, 30, tag="late"))
+        return real_create(self, p, payload)
+
+    try:
+        snaplog._Fs.create_exclusive = create_with_intruder
+        with pytest.raises(snaplog.CommitConflict):
+            snaplog.compact(spark, t)
+    finally:
+        snaplog._Fs.create_exclusive = real_create
+    # the loser's data is intact: late append present, no duplicates
+    assert snaplog.read(spark, t).count() == 210
+
+
+def test_streaming_snaplog_sink_exactly_once(spark, tmp_path):
+    """run_to_sinks_stream_snaplog: stream counts == batch counts, every
+    micro-batch is one snapshot carrying its batch id, and a full re-run with
+    a FRESH checkpoint (same batch ids replayed from scratch) commits
+    nothing new."""
+    from openfactverification_spark.plans.pipeline import build_pipeline
+    from openfactverification_spark.sources.transcripts import transcripts_df
+    from openfactverification_spark.streaming import pipeline as spipe
+
+    src = str(tmp_path / "src")
+    transcripts_df(spark, 1500).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = spipe.run_to_sinks_stream_snaplog(spark, stream, out, str(tmp_path / "ck1"))
+    q.awaitTermination(300)
+
+    table = f"{out}/sinks"
+    got = {
+        r["route"]: r["n"]
+        for r in snaplog.read(spark, table).groupBy("route").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    batch = build_pipeline(spark, spark.read.parquet(src)).routed
+    want = {
+        r["route"]: r["n"]
+        for r in batch.groupBy("route").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
+
+    hist = snaplog.history(spark, table)
+    batch_ids = [h["summary"].get("stream_batch_id") for h in hist]
+    assert all(b is not None for b in batch_ids)
+    assert len(set(batch_ids)) == len(batch_ids)
+
+    # replay from scratch: fresh checkpoint, same source -> same batch ids ->
+    # every batch skips; the log must not grow and counts must not change
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = spipe.run_to_sinks_stream_snaplog(spark, stream2, out, str(tmp_path / "ck2"))
+    q2.awaitTermination(300)
+    assert len(snaplog.history(spark, table)) == len(hist)
+    got2 = {
+        r["route"]: r["n"]
+        for r in snaplog.read(spark, table).groupBy("route").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert got2 == want
