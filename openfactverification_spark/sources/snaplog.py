@@ -438,7 +438,6 @@ def read(
     snap = _resolve(fs, snapshot_id, version)
     schema = T.StructType.fromJson(json.loads(snap["schema"]))
     pcols = snap["partition_cols"]
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     files = snap["files"]
     if partition_filter:
@@ -455,31 +454,41 @@ def read(
             if all(f["partition"].get(c) in vs for c, vs in norm.items())
         ]
 
-    return _frame_for_files(spark, fs, schema, pcols, ptypes, files)
+    return _frame_for_files(spark, fs, schema, pcols, files)
 
 
 def _frame_for_files(
-    spark: SparkSession, fs: _Fs, schema, pcols, ptypes, files: list[dict]
+    spark: SparkSession, fs: _Fs, schema, pcols, files: list[dict]
 ) -> DataFrame:
-    """Explicit file list -> DataFrame with typed partition columns attached
-    (one scan per partition-value group, partition values as foldable
-    literals)."""
+    """Explicit file list -> DataFrame with typed partition columns.
+
+    One scan per COMMIT directory (each is a self-consistent hive tree, so
+    ``basePath`` + the explicit file subset gives Spark a single relation per
+    commit with the partition columns resolved from the directory names and
+    typed by the snapshot's logical schema). Snapshot isolation holds — only
+    the listed files enter the file index — and partition predicates still
+    prune inside each relation as native PartitionFilters. Plan size is
+    O(live commits), not O(partition values) (the earlier per-partition-group
+    union made a 30-day read 30 scans); compaction collapses commits, so the
+    relation count stays small on a maintained table."""
     if not files:
         return spark.createDataFrame([], schema)
 
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[str, list[str]] = {}
     for f in files:
-        key = tuple(f["partition"].get(c) for c in pcols)
-        groups.setdefault(key, []).append(posixpath.join(fs.root, f["path"]))
+        rel = f["path"]
+        commit = rel.split("/")[1] if rel.startswith(DATA_DIR + "/") else ""
+        groups.setdefault(commit, []).append(posixpath.join(fs.root, rel))
 
+    cols = [fld.name for fld in schema.fields]
     parts = []
-    data_cols = [f.name for f in schema.fields if f.name not in pcols]
-    for key, paths in sorted(groups.items(), key=lambda kv: tuple(map(str, kv[0]))):
-        part = spark.read.parquet(*paths).select(*data_cols)
-        for c, raw in zip(pcols, key):
-            lit = F.lit(None) if raw is None or raw == "__HIVE_DEFAULT_PARTITION__" else F.lit(raw)
-            part = part.withColumn(c, lit.cast(ptypes[c]))
-        parts.append(part.select(*[f.name for f in schema.fields]))
+    for commit, paths in sorted(groups.items()):
+        reader = spark.read.schema(schema)
+        if pcols:
+            reader = reader.option(
+                "basePath", posixpath.join(fs.root, DATA_DIR, commit)
+            )
+        parts.append(reader.parquet(*paths).select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -505,7 +514,6 @@ def compact(spark: SparkSession, table: str, min_files: int = 2) -> dict | None:
         raise ValueError(f"compact on non-existent table {table}")
     pcols = head["partition_cols"]
     schema = T.StructType.fromJson(json.loads(head["schema"]))
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     groups: dict[tuple, list[dict]] = {}
     for f in head["files"]:
@@ -516,7 +524,7 @@ def compact(spark: SparkSession, table: str, min_files: int = 2) -> dict | None:
 
     fs = _Fs(spark, table)
     victims = [f for fl in todo.values() for f in fl]
-    df = _frame_for_files(spark, fs, schema, pcols, ptypes, victims)
+    df = _frame_for_files(spark, fs, schema, pcols, victims)
     if pcols:
         df = df.repartition(*[F.col(c) for c in pcols])
     new_files, _ = _write_data_files(df, fs, pcols)
