@@ -1041,6 +1041,8 @@ def q_embed_neardup_planted_lsh(
     n_tables: int = 4,
     bump: float = 1.05,
     output: str = "pairs",
+    nv_sql: str | None = None,
+    buckets_over_sql: str | None = None,
 ) -> str:
     """Multi-table LSH near-dup detection in the REGIME IT IS BUILT FOR:
     cosine >= 0.98 true near-duplicates. The fixture embeddings are random
@@ -1063,22 +1065,28 @@ def q_embed_neardup_planted_lsh(
     evidence that candidates << all-pairs at production parameters (r2
     verdict: make the honest regime the headline, keep 0.40 as the
     worst-case anchor). The p=12 x L=8 / threshold 0.90 parameterization
-    registered as embed_dup_pairs_lsh_hi is that headline."""
+    registered as embed_dup_pairs_lsh_hi is that headline.
+
+    ``nv_sql`` / ``buckets_over_sql`` let the Spark runner substitute
+    MATERIALIZED normed-vector and bucket tables: nv is consumed by three
+    CTEs and buckets self-joins (two sides), and Spark inlines CTEs, so the
+    inline form computes the p x L plane-dot buckets twice and the norms
+    three times — at p=12 x L=8 the bucket bits ARE the cost. The DuckDB
+    oracle keeps the self-contained template."""
     tables = H.lsh_tables(n_tables, planes_per_table)
-    pert = d.transform(
-        d.seq(0, H.EMBED_DIM - 1),
-        "i",
-        f"cast({d.elem('embedding', 'i')} as double)"
-        f" * (CASE WHEN i = 0 THEN {bump} ELSE 1.0 END)",
-    )
     cos = f"{_dot(d, 'a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
-    # loop-form buckets: 8 planes/table unrolled would be 512 terms per
-    # column — past the 64KB codegen limit once inlined into the explode/sort
-    # stages (see lsh_bucket_loop_expr).
-    bval_cols = ",\n         ".join(
-        f"{lsh_bucket_loop_expr(d, pl)} AS b{t}" for t, pl in enumerate(tables)
-    )
-    if d.spark:
+    if nv_sql is None:
+        nv_sql = planted_nv_sql(d, bump)
+    ctes = [f"nv AS ({nv_sql})"]
+    if buckets_over_sql is not None:
+        ctes.append(f"buckets AS ({buckets_over_sql})")
+    elif d.spark:
+        # loop-form buckets: 8 planes/table unrolled would be 512 terms per
+        # column — past the 64KB codegen limit once inlined into the
+        # explode/sort stages (see lsh_bucket_loop_expr).
+        bval_cols = ",\n         ".join(
+            f"{lsh_bucket_loop_expr(d, pl)} AS b{t}" for t, pl in enumerate(tables)
+        )
         structs = ", ".join(
             f"named_struct('tbl', {t}, 'bucket', b{t})" for t in range(len(tables))
         )
@@ -1086,36 +1094,99 @@ def q_embed_neardup_planted_lsh(
             "SELECT vec_id, bb.tbl AS tbl, bb.bucket AS bucket\n"
             f"  FROM bvals LATERAL VIEW explode(array({structs})) t AS bb"
         )
+        ctes.append(f"bvals AS (\n  SELECT vec_id, {bval_cols}\n  FROM nv\n)")
+        ctes.append(f"buckets AS (\n  {buckets_sql}\n)")
     else:
-        buckets_sql = "\n  UNION ALL\n  ".join(
-            f"SELECT vec_id, {t} AS tbl, b{t} AS bucket FROM bvals"
-            for t in range(len(tables))
+        # DuckDB: relational plane-matrix form — see planted_buckets_sql.
+        ctes.append(
+            f"buckets AS ({planted_buckets_sql(d, planes_per_table, n_tables, 'nv')})"
         )
+    body = ",\n".join(ctes)
     return f"""
-WITH all0 AS (
-  SELECT vec_id, {d.transform('embedding', 'x', 'cast(x as double)')} AS embedding
-  FROM embeddings
-  UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, {pert} AS embedding FROM embeddings
-),
-nv AS (
-  SELECT vec_id, embedding,
-         sqrt({_dot(d, 'embedding', 'embedding')}) AS nrm
-  FROM all0
-),
-bvals AS (
-  SELECT vec_id, {bval_cols}
-  FROM nv
-),
-buckets AS (
-  {buckets_sql}
-),
+WITH {body},
 cand AS (
   SELECT DISTINCT qa.vec_id AS id_a, qb.vec_id AS id_b
   FROM buckets qa JOIN buckets qb
     ON qa.tbl = qb.tbl AND qa.bucket = qb.bucket AND qa.vec_id < qb.vec_id
 )
 {_planted_final_select(d, cos, threshold, output)}"""
+
+
+def planted_nv_sql(d: D, bump: float = 1.05) -> str:
+    """The planted-twin normed-vector table of q_embed_neardup_planted_lsh:
+    originals + one near-exact twin each (coordinate 0 scaled by bump),
+    with precomputed L2 norms."""
+    pert = d.transform(
+        d.seq(0, H.EMBED_DIM - 1),
+        "i",
+        f"cast({d.elem('embedding', 'i')} as double)"
+        f" * (CASE WHEN i = 0 THEN {bump} ELSE 1.0 END)",
+    )
+    return f"""
+  SELECT vec_id, embedding, sqrt({_dot(d, 'embedding', 'embedding')}) AS nrm
+  FROM (
+    SELECT vec_id, {d.transform('embedding', 'x', 'cast(x as double)')} AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, {pert} AS embedding FROM embeddings
+  ) all0"""
+
+
+def planted_buckets_sql(
+    d: D, planes_per_table: int, n_tables: int, nv_ref: str = "nv"
+) -> str:
+    """(vec_id, tbl, bucket) for every vector x table, reading normed vectors
+    from ``nv_ref`` — the bucket stream the runner materializes once.
+
+    The two dialects get structurally different (value-identical) plans:
+
+    - Spark: p x L loop-form bucket expressions per vector, one explode —
+      codegen'd lambda folds are fast on the JVM and the runner persists the
+      result, so the expressions run exactly once per vector.
+    - DuckDB: a RELATIONAL form — the plane matrix as a (tbl, j, w) VALUES
+      table cross-joined to vectors, ONE list-dot per (vector, table, plane)
+      row, then an integer bit-sum GROUP BY. DuckDB's binder/interpreter
+      chokes on the p x L nested-lambda scalar expressions (67KB of SQL at
+      p=12 x L=8; measured ~300s at sf0.01 vs ~2s relational). Buckets stay
+      bit-identical: the per-plane dot is the same list_sum(list_transform)
+      left-to-right path with the same round(·,6) literals, and the bit
+      assembly is an order-free integer sum."""
+    tables = H.lsh_tables(n_tables, planes_per_table)
+    if d.spark:
+        bval_cols = ",\n         ".join(
+            f"{lsh_bucket_loop_expr(d, pl)} AS b{t}" for t, pl in enumerate(tables)
+        )
+        structs = ", ".join(
+            f"named_struct('tbl', {t}, 'bucket', b{t})" for t in range(len(tables))
+        )
+        return (
+            f"SELECT vec_id, bb.tbl AS tbl, bb.bucket AS bucket FROM "
+            f"(SELECT vec_id, {bval_cols} FROM {nv_ref}) bv "
+            f"LATERAL VIEW explode(array({structs})) t AS bb"
+        )
+    rows = ",\n    ".join(
+        f"({t}, {j}, {d.arr(pl)})"
+        for t, planes in enumerate(tables)
+        for j, pl in enumerate(planes)
+    )
+    dot = d.fold_sum(
+        d.transform(
+            d.seq(0, H.EMBED_DIM - 1),
+            "k",
+            f"cast({d.elem('v.embedding', 'k')} as double) * {d.elem('pl.w', 'k')}",
+        )
+    )
+    return f"""WITH planes(tbl, j, w) AS (VALUES
+    {rows}),
+  dots AS (
+    SELECT v.vec_id, pl.tbl, pl.j,
+           {dot} AS dot
+    FROM {nv_ref} v CROSS JOIN planes pl
+  )
+  SELECT vec_id, tbl,
+         cast(sum(CASE WHEN dot > 0 THEN (1 << j) ELSE 0 END) as int) AS bucket
+  FROM dots
+  GROUP BY vec_id, tbl"""
 
 
 def _planted_final_select(d: D, cos: str, threshold: float, output: str) -> str:
@@ -1682,7 +1753,34 @@ SELECT {d.big('doc_id')} AS doc_id,
 FROM agg"""
 
 
-def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
+def ngram_spans_grams_sql(d: D, n: int = 8) -> str:
+    """The (doc_id, pos, gh) gram stream of q_dedup_ngram_spans: position +
+    28-bit hash of each n-word gram, NULL-guarded for sub-n-word docs (lazy
+    CASE, not WHERE — fused predicates can run the transform before a length
+    filter and Spark's sequence() throws on negative bounds)."""
+    w = words_cte(d)
+    garr = (
+        f"CASE WHEN {d.alen('w')} >= {n} THEN "
+        + d.transform(
+            d.seq(0, f"{d.alen('w')} - {n}"), "i", d.h7(d.ajoin(d.aslice("w", "i", n)))
+        )
+        + " END"
+    )
+    staged = f"SELECT doc_id, {w} AS w FROM documents"
+    if d.spark:
+        return (
+            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s) "
+            f"LATERAL VIEW posexplode(garr) AS pos, gh"
+        )
+    return (
+        f"SELECT doc_id, CAST(unnest(range(0, len(garr))) AS INT) AS pos, unnest(garr) AS gh "
+        f"FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s) t"
+    )
+
+
+def q_dedup_ngram_spans(
+    d: D, n: int = 8, frac_max: float = 0.30, grams_sql: str | None = None
+) -> str:
     """Cross-document duplicated-substring coverage (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better": exact substring
     dedup at n-gram granularity — the complement of doc-level dedup, catching
@@ -1721,26 +1819,18 @@ def q_dedup_ngram_spans(d: D, n: int = 8, frac_max: float = 0.30) -> str:
     The word array is staged as a COLUMN before the gram lambda: lambda bodies
     get no common-subexpression elimination, so referencing split(text) inside
     the transform would re-split the whole document once per gram — O(len *
-    n_grams) per doc (measured ~2x on this corpus; far worse on long docs)."""
+    n_grams) per doc (measured ~2x on this corpus; far worse on long docs).
+
+    The `grams` stream is consumed TWICE (the gstats pre-agg and the join-back
+    side) and Spark inlines CTEs, so the inline form re-runs the explode+hash
+    — measured ~3x at sf0.1. The Spark runner
+    (testdata_queries.q_dedup_ngram_spans_runner) passes ``grams_sql`` to read
+    a persisted gram table instead — the same materialize-the-sketch decision
+    as the minhash/simhash runners; at cluster scale this is 'write the gram
+    stream once, aggregate and join from it'. The DuckDB oracle keeps the
+    self-contained template (DuckDB materializes multi-referenced CTEs)."""
+    grams_from = grams_sql or ngram_spans_grams_sql(d, n)
     w = words_cte(d)
-    garr = (
-        f"CASE WHEN {d.alen('w')} >= {n} THEN "
-        + d.transform(
-            d.seq(0, f"{d.alen('w')} - {n}"), "i", d.h7(d.ajoin(d.aslice("w", "i", n)))
-        )
-        + " END"
-    )
-    staged = f"SELECT doc_id, {w} AS w FROM documents"
-    if d.spark:
-        grams_from = (
-            f"SELECT doc_id, pos, gh FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s) "
-            f"LATERAL VIEW posexplode(garr) AS pos, gh"
-        )
-    else:
-        grams_from = (
-            f"SELECT doc_id, CAST(unnest(range(0, len(garr))) AS INT) AS pos, unnest(garr) AS gh "
-            f"FROM (SELECT doc_id, {garr} AS garr FROM ({staged}) s) t"
-        )
     prev_end = (
         f"max(pos + {n}) OVER (PARTITION BY doc_id ORDER BY pos "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"

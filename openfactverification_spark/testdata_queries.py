@@ -165,6 +165,60 @@ def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_dedup_ngram_spans_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of dedup_ngram_spans with the (doc_id, pos, gh) gram
+    stream materialized ONCE (cached temp view): the query consumes it twice
+    (gstats pre-agg + join-back) and Spark inlines CTEs, so the inline form
+    re-runs the explode+h7 gram construction — measured ~3x slower at sf0.1.
+    Same decision as the minhash/simhash runners; the groupBy-join de-skew
+    shape (AQE-splittable hot grams) is unchanged."""
+    _register_views(spark, sf_dir)
+    grams = spark.sql(dual.ngram_spans_grams_sql(_SPARK)).persist()
+    grams.count()  # eager: both consumers must read the cache
+    grams.createOrReplaceTempView("grams_mat")
+    return spark.sql(
+        dual.q_dedup_ngram_spans(
+            _SPARK, grams_sql="SELECT doc_id, pos, gh FROM grams_mat"
+        )
+    )
+
+
+def _planted_lsh_runner(
+    threshold: float, planes_per_table: int, n_tables: int, output: str = "pairs"
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Spark execution of the planted-twin LSH family with the normed-vector
+    and bucket tables materialized ONCE (cached temp views): nv feeds three
+    CTEs and buckets self-joins, and Spark inlines CTEs, so the inline form
+    computes the p x L plane-dot bucket bits twice and the norms three times
+    — at p=12 x L=8 the bits are the dominant cost (measured ~2x at sf0.1).
+    At cluster scale the same decision is 'write signatures once, join from
+    the signature table'. DuckDB oracle stays self-contained."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        nv = spark.sql("SELECT * FROM (" + dual.planted_nv_sql(_SPARK) + ") q").persist()
+        nv.count()
+        nv.createOrReplaceTempView("nv_mat")
+        bk = spark.sql(
+            dual.planted_buckets_sql(_SPARK, planes_per_table, n_tables, nv_ref="nv_mat")
+        ).persist()
+        bk.count()
+        bk.createOrReplaceTempView("buckets_mat")
+        return spark.sql(
+            dual.q_embed_neardup_planted_lsh(
+                _SPARK,
+                threshold=threshold,
+                planes_per_table=planes_per_table,
+                n_tables=n_tables,
+                output=output,
+                nv_sql="SELECT vec_id, embedding, nrm FROM nv_mat",
+                buckets_over_sql="SELECT vec_id, tbl, bucket FROM buckets_mat",
+            )
+        )
+
+    return run
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup cluster assignment: connected components over the minhash-LSH
     pair graph, executed with the large-star/small-star contraction — the
@@ -296,6 +350,10 @@ TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 TESTDATA_QUERIES["dedup_components"] = q_dedup_components
+TESTDATA_QUERIES["dedup_ngram_spans"] = q_dedup_ngram_spans_runner
+TESTDATA_QUERIES["embed_neardup_planted_lsh"] = _planted_lsh_runner(0.98, 8, 4)
+TESTDATA_QUERIES["embed_dup_pairs_lsh_hi"] = _planted_lsh_runner(0.90, 12, 8)
+TESTDATA_QUERIES["embed_lsh_hi_stats"] = _planted_lsh_runner(0.90, 12, 8, output="stats")
 TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
 TESTDATA_QUERIES["snaplog_overwrite_daily"] = q_snaplog_overwrite_daily
 TESTDATA_QUERIES["embed_ivf_ann_refined"] = q_embed_ivf_ann_refined_runner
