@@ -314,6 +314,137 @@ JOIN sizes sb ON sb.doc_id = v.id_b
 WHERE cast(v.n_common as double) / (sa.sz + sb.sz - v.n_common) >= {threshold}"""
 
 
+def q_dedup_incremental(
+    d: D, threshold: float = 0.15, pairs_sql: str | None = None
+) -> str:
+    """Incremental corpus dedup: judge newly-ingested batches against the
+    already-accepted corpus — the production loop for continuously-ingested
+    training data, where each increment is deduped against a PERSISTED
+    signature store and only accepted docs' signatures are appended
+    (the dedup-before-enrich free win of SURVEY §4, recast to the
+    ingest-over-time axis).
+
+    Batch assignment is deterministic from the fixture: batch = doc_id % 3
+    (0 = initial corpus, then increments 1 and 2 processed IN ORDER).
+    Sequential store-growth semantics, per increment batch B:
+
+    * ``dup_of_seen``  — a verified near-dup partner exists in seen(B), where
+      seen(1) = corpus and seen(2) = corpus ∪ new(1). Docs dropped from
+      batch 1 never enter the store, so a batch-2 doc whose only partner was
+      a DROPPED batch-1 doc is NOT dup_of_seen — exactly what a signature
+      store would say. dup_of = min such partner.
+    * ``dup_in_batch`` — else, a verified partner y < doc exists in the same
+      batch with y itself not dup_of_seen (keeper-by-min, one level — chain
+      closure across batches is dedup_components' job, not this gate's).
+    * ``new``          — else; the doc's signatures join the store.
+
+    Near-dup pairs are the K=128 banded-minhash + exact-jaccard verify of
+    q_dedup_minhash_lsh — same sketch, same threshold (``pairs_sql``
+    substitutes a materialized pair table). This single-statement template is
+    the DUCKDB ORACLE form only: the step CTEs chain five deep and Catalyst
+    inlines every CTE reference, so on Spark the nested expansion is
+    exponential in chain depth — the Spark runner
+    (testdata_queries.q_dedup_incremental_runner) instead executes the SAME
+    incr_*_sql fragments as sequential per-batch jobs with each step
+    materialized, which is also the honest production shape (per-ingest-batch
+    append to a SnapLog signature store)."""
+    pairs_body = pairs_sql or q_dedup_minhash_lsh(d, threshold=threshold)
+    # AS MATERIALIZED on every step CTE: DuckDB's BINDER re-binds each CTE
+    # reference, so the five-deep chain expands exponentially at plan time
+    # exactly like Catalyst's inlining (EXPLAIN alone hung >60s; materialized
+    # it binds each step once and runs in ~2s at sf0.001).
+    m = "" if d.spark else "MATERIALIZED "
+    return f"""
+WITH pairs AS {m}({pairs_body}),
+docs AS {m}({incr_docs_sql(d)}),
+ex AS {m}({incr_ex_sql(d)}),
+b1_seen AS {m}({incr_seen_sql(d, 1, "byy = 0")}),
+b1_intra AS {m}({incr_intra_sql(d, 1, "b1_seen")}),
+b1_new AS {m}({incr_new_sql(d, 1, "b1_seen", "b1_intra")}),
+b2_seen AS {m}(
+  {incr_seen_sql(d, 2, "byy = 0 OR y IN (SELECT doc_id FROM b1_new)")}),
+b2_intra AS {m}({incr_intra_sql(d, 2, "b2_seen")})
+{incr_status_sql(d, 1, "b1_seen", "b1_intra", "b1_new")}
+UNION ALL
+{incr_status_sql(d, 2, "b2_seen", "b2_intra", None)}"""
+
+
+def incr_docs_sql(d: D, docs_ref: str = "documents") -> str:
+    """(doc_id, batch) with the deterministic doc_id % 3 batch assignment."""
+    return (
+        f"SELECT {d.big('doc_id')} AS doc_id, cast(doc_id % 3 as int) AS batch "
+        f"FROM {docs_ref}"
+    )
+
+
+def incr_ex_sql(d: D, pairs_ref: str = "pairs", docs_ref: str = "docs") -> str:
+    """Directed batch-labelled near-dup edges: each undirected verified pair
+    twice, x = the doc being judged, y = its partner, bx/byy their batches."""
+    return f"""
+  SELECT e.x, e.y, dx.batch AS bx, dy.batch AS byy
+  FROM (
+    SELECT p.id_a AS x, p.id_b AS y FROM {pairs_ref} p
+    UNION ALL
+    SELECT p.id_b AS x, p.id_a AS y FROM {pairs_ref} p
+  ) e
+  JOIN {docs_ref} dx ON dx.doc_id = e.x
+  JOIN {docs_ref} dy ON dy.doc_id = e.y"""
+
+
+def incr_seen_sql(d: D, batch: int, seen_clause: str, ex_ref: str = "ex") -> str:
+    """Batch-`batch` docs with a verified partner in the store (`seen_clause`
+    is the partner-side predicate defining the store at this batch)."""
+    return (
+        f"SELECT x AS doc_id, min(y) AS dup_of FROM {ex_ref} "
+        f"WHERE bx = {batch} AND ({seen_clause}) GROUP BY x"
+    )
+
+
+def incr_intra_sql(d: D, batch: int, seen_ref: str, ex_ref: str = "ex") -> str:
+    """Batch-`batch` docs (not store-dups) with a smaller same-batch partner
+    that is itself not a store-dup: keeper-by-min, one level."""
+    return f"""
+  SELECT e.x AS doc_id, min(e.y) AS dup_of
+  FROM {ex_ref} e
+  WHERE e.bx = {batch} AND e.byy = {batch} AND e.y < e.x
+    AND e.x NOT IN (SELECT doc_id FROM {seen_ref})
+    AND e.y NOT IN (SELECT doc_id FROM {seen_ref})
+  GROUP BY e.x"""
+
+
+def incr_new_sql(
+    d: D, batch: int, seen_ref: str, intra_ref: str, docs_ref: str = "docs"
+) -> str:
+    """Batch-`batch` docs accepted into the store: neither status applies."""
+    return f"""
+  SELECT doc_id FROM {docs_ref} WHERE batch = {batch}
+    AND doc_id NOT IN (SELECT doc_id FROM {seen_ref})
+    AND doc_id NOT IN (SELECT doc_id FROM {intra_ref})"""
+
+
+def incr_status_sql(
+    d: D,
+    batch: int,
+    seen_ref: str,
+    intra_ref: str,
+    new_ref: str | None,
+    docs_ref: str = "docs",
+) -> str:
+    """The batch's full status rows. ``new_ref=None`` derives the new-set
+    inline (used when it has no downstream consumer)."""
+    new_body = (
+        f"SELECT doc_id FROM {new_ref}"
+        if new_ref is not None
+        else incr_new_sql(d, batch, seen_ref, intra_ref, docs_ref)
+    )
+    return f"""SELECT doc_id, {batch} AS batch_id, 'dup_of_seen' AS status, dup_of FROM {seen_ref}
+UNION ALL
+SELECT doc_id, {batch} AS batch_id, 'dup_in_batch' AS status, dup_of FROM {intra_ref}
+UNION ALL
+SELECT doc_id, {batch} AS batch_id, 'new' AS status, cast(NULL as bigint) AS dup_of
+FROM ({new_body}) nw"""
+
+
 def q_dedup_simhash(d: D, max_hamming: int = 6) -> str:
     """SimHash near-dup: per-doc {bits}-bit simhash over word hashes, then pairs
     with hamming distance <= max_hamming via bit_count(xor). All-pairs — the

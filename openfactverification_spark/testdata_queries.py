@@ -33,6 +33,7 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "dedup_ngram_jaccard": dual.q_dedup_ngram_jaccard,
     "minhash_signatures": dual.q_minhash_signatures,
     "dedup_minhash_lsh": dual.q_dedup_minhash_lsh,
+    "dedup_incremental": dual.q_dedup_incremental,
     "dedup_simhash": dual.q_dedup_simhash,
     "dedup_simhash_banded": dual.q_dedup_simhash_banded,
     "doc_fingerprint": dual.q_doc_fingerprint,
@@ -143,6 +144,75 @@ def q_dedup_minhash_lsh_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         dual.q_dedup_minhash_lsh(_SPARK, sh_sql="SELECT doc_id, shingle FROM sh_mat")
     )
+
+
+def _mat(spark: SparkSession, sql: str, view: str) -> DataFrame:
+    """Materialize a step result with TRUNCATED LINEAGE and register it as a
+    view. localCheckpoint, not persist+count: a view over a persisted DF still
+    expands to the full upstream logical plan during analysis (cache
+    substitution only happens afterwards), so chained steps re-grow the
+    geometric plan this runner exists to avoid — measured 16s to *plan* the
+    depth-4 step at sf0.01 vs sub-second from a checkpoint leaf."""
+    df = spark.sql(sql).localCheckpoint(eager=True)
+    df.createOrReplaceTempView(view)
+    return df
+
+
+def q_dedup_incremental_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark execution of dedup_incremental as the SEQUENTIAL per-batch jobs
+    production runs: each step (edge build, store-hit, intra-batch, accepted
+    set) is materialized before the next reads it. This is not just the usual
+    materialize-the-multi-consumer-relation decision — the single-statement
+    form is a correctness/compile hazard on Spark: the step CTEs chain five
+    deep (ex → b1_seen → b1_new → b2_seen → b2_intra) and Catalyst inlines
+    every CTE reference, so the nested expansion is EXPONENTIAL in chain depth
+    (~50 copies of the edge join; plan compilation alone ran minutes at
+    sf0.001). At cluster scale each materialized step is the signature-store
+    SnapLog table appended per ingest batch. The DuckDB oracle keeps the
+    self-contained template (DuckDB materializes multi-referenced CTEs).
+    Both sides render each step from the SAME dual.incr_*_sql fragments."""
+    pairs = q_dedup_minhash_lsh_runner(spark, sf_dir)
+    return incremental_from_pairs(spark, pairs)
+
+
+def incremental_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """The sequential batch loop of q_dedup_incremental_runner over an
+    arbitrary verified-pair DataFrame (id_a, id_b) — the seam the planted
+    store-growth tests inject through. Requires a `documents` view."""
+    pairs = pairs.localCheckpoint(eager=True)
+    pairs.createOrReplaceTempView("incr_pairs")
+    _mat(spark, dual.incr_docs_sql(_SPARK), "incr_docs")
+    _mat(spark, dual.incr_ex_sql(_SPARK, "incr_pairs", "incr_docs"), "incr_ex")
+    _mat(spark, dual.incr_seen_sql(_SPARK, 1, "byy = 0", "incr_ex"), "incr_b1_seen")
+    _mat(
+        spark,
+        dual.incr_intra_sql(_SPARK, 1, "incr_b1_seen", "incr_ex"),
+        "incr_b1_intra",
+    )
+    _mat(
+        spark,
+        dual.incr_new_sql(_SPARK, 1, "incr_b1_seen", "incr_b1_intra", "incr_docs"),
+        "incr_b1_new",
+    )
+    _mat(
+        spark,
+        dual.incr_seen_sql(
+            _SPARK, 2, "byy = 0 OR y IN (SELECT doc_id FROM incr_b1_new)", "incr_ex"
+        ),
+        "incr_b2_seen",
+    )
+    _mat(
+        spark,
+        dual.incr_intra_sql(_SPARK, 2, "incr_b2_seen", "incr_ex"),
+        "incr_b2_intra",
+    )
+    s1 = dual.incr_status_sql(
+        _SPARK, 1, "incr_b1_seen", "incr_b1_intra", "incr_b1_new", "incr_docs"
+    )
+    s2 = dual.incr_status_sql(
+        _SPARK, 2, "incr_b2_seen", "incr_b2_intra", None, "incr_docs"
+    )
+    return spark.sql(f"{s1}\nUNION ALL\n{s2}")
 
 
 def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +418,7 @@ TESTDATA_QUERIES["multimodal_bytes"] = q_multimodal_bytes
 TESTDATA_QUERIES["multimodal_frames"] = q_multimodal_frames
 TESTDATA_QUERIES["chunk_passages"] = q_chunk_passages
 TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
+TESTDATA_QUERIES["dedup_incremental"] = q_dedup_incremental_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 TESTDATA_QUERIES["dedup_components"] = q_dedup_components
 TESTDATA_QUERIES["dedup_ngram_spans"] = q_dedup_ngram_spans_runner

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -57,16 +58,20 @@ def main():
     for name, fn in sorted(qs.items()):
         if name_filter and name_filter not in name:
             continue
+        t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = sdf.collect()
+        t_spark = time.time() - t0
         scols = sdf.columns
         if name not in oracles:
-            print(f"  [rows-only] {name}: {len(srows)} rows")
+            print(f"  [rows-only] {name}: {len(srows)} rows ({t_spark:.1f}s spark)")
             n_noora += 1
             continue
         try:
+            t0 = time.time()
             ores = con.execute(oracles[name])
             orows = ores.fetchall()
+            t_duck = time.time() - t0
             ocols = [d[0] for d in ores.description]
         except Exception as e:
             print(f"  [FAIL-oracle-err] {name}: {e}")
@@ -87,7 +92,7 @@ def main():
             print(f"  [FAIL-values] {name}: first diffs {bad}")
             n_fail += 1
             continue
-        print(f"  [PASS] {name}: {len(sn)} rows")
+        print(f"  [PASS] {name}: {len(sn)} rows ({t_spark:.1f}s spark, {t_duck:.1f}s duck)")
         n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noora} rows-only")
