@@ -61,6 +61,7 @@ TESTDATA_BENCH = [
     "pack_sequences",  # mapInPandas greedy packer, narrow Arrow transfer
     "events_grok_parse",  # grok compile -> anchored extracts, scan-bound
     "dedup_ngram_spans",  # hashed-gram shuffle + interval-union coverage
+    "dedup_incremental",  # sequential batch-vs-store gate over minhash pairs
     "semantic_dedup",  # IVF-cell clustering + within-cell cosine (O(N^1.5))
     "corpus_top_terms_cms",  # count-min sketch: depth*width bounded exchange
     "embed_neardup_planted_lsh",  # LSH in its real regime: p=8 x L=4, ~linear candidates

@@ -214,6 +214,39 @@ sig AS (
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)"""
 
 
+def minhash_bands_sql(
+    d: D, k: int | None = None, bands: int | None = None, sig_ref: str = "sig"
+) -> str:
+    """(doc_id, band_idx, band_key) LSH band stream from a signature relation
+    ``sig_ref`` (columns doc_id, mh0..mh{k-1}). Spark gets ONE explode over
+    the signature row (a UNION ALL of per-band selects would recompute the
+    inlined signature aggregation once per band); DuckDB keeps the UNION ALL
+    form (it materializes multiply-referenced CTEs)."""
+    k = H.MINHASH_K if k is None else k
+    bands = H.MINHASH_BANDS if bands is None else bands
+    rows_per_band = k // bands
+
+    def band_key(b: int) -> str:
+        return " || '_' || ".join(
+            f"cast(mh{b * rows_per_band + r} as {'string' if d.spark else 'varchar'})"
+            for r in range(rows_per_band)
+        )
+
+    if d.spark:
+        structs = ", ".join(
+            f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
+            for b in range(bands)
+        )
+        return (
+            "SELECT doc_id, bb.band_idx AS band_idx, bb.band_key AS band_key\n"
+            f"  FROM {sig_ref} LATERAL VIEW explode(array({structs})) t AS bb"
+        )
+    return "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_key(b)} AS band_key FROM {sig_ref}"
+        for b in range(bands)
+    )
+
+
 def q_minhash_signatures(d: D, k: int | None = None) -> str:
     k = H.MINHASH_K if k is None else k
     cols = ", ".join(f"mh{i}" for i in range(k))
@@ -253,28 +286,7 @@ def q_dedup_minhash_lsh(
     observe() metric on the dropped-bucket count — never a silent cap."""
     k = H.MINHASH_K if k is None else k
     bands = H.MINHASH_BANDS if bands is None else bands
-    rows_per_band = k // bands
-
-    def band_key(b: int) -> str:
-        return " || '_' || ".join(
-            f"cast(mh{b * rows_per_band + r} as {'string' if d.spark else 'varchar'})"
-            for r in range(rows_per_band)
-        )
-
-    if d.spark:
-        structs = ", ".join(
-            f"named_struct('band_idx', {b}, 'band_key', {band_key(b)})"
-            for b in range(bands)
-        )
-        bands_sql = (
-            "SELECT doc_id, bb.band_idx AS band_idx, bb.band_key AS band_key\n"
-            f"  FROM sig LATERAL VIEW explode(array({structs})) t AS bb"
-        )
-    else:
-        bands_sql = "\n  UNION ALL\n  ".join(
-            f"SELECT doc_id, {b} AS band_idx, {band_key(b)} AS band_key FROM sig"
-            for b in range(bands)
-        )
+    bands_sql = minhash_bands_sql(d, k=k, bands=bands)
     cand_src = "bands"
     cap_cte = ""
     if max_band_bucket is not None:

@@ -38,6 +38,9 @@ def _register_docs(spark):
     spark.createDataFrame(_DOCS, ["doc_id", "text"]).createOrReplaceTempView(
         "documents"
     )
+    # the planted view shadows the fixture table: force testdata_queries'
+    # _register_views to re-register real tables for whoever runs next
+    spark.conf.set("spark.ofv.registered_sf", "")
 
 
 def _statuses(df):

@@ -1,0 +1,72 @@
+"""Streaming ingest dedup ≡ batch dedup_incremental, and exactly-once replay.
+
+The stream seeds the store with the corpus stratum (doc_id % 3 == 0), then
+processes the two increment strata as two availableNow runs (second file
+added after the first run completes, so micro-batch order is guaranteed and
+the second run exercises checkpoint restart). Statuses must equal the batch
+operator's exactly."""
+
+from __future__ import annotations
+
+from openfactverification_spark import testdata_queries as tq
+from openfactverification_spark.sources import snaplog
+from openfactverification_spark.sources.tables import table_path
+from openfactverification_spark.streaming import ingest_dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(table_path(SF, "documents")).select("doc_id", "text")
+
+
+def _run_stream(spark, tmp_path):
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    src = str(tmp_path / "src")
+    ingest_dedup.seed_store(spark, docs.filter("doc_id % 3 = 0"), store)
+    schema = docs.schema
+
+    for stratum in (1, 2):
+        docs.filter(f"doc_id % 3 = {stratum}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = ingest_dedup.run_ingest_dedup_stream(spark, stream, store, out, ck)
+        q.awaitTermination(300)
+    return store, out, ck, src, schema
+
+
+def test_stream_statuses_equal_batch(spark, tmp_path):
+    _, out, _, _, _ = _run_stream(spark, tmp_path)
+    got = {
+        (r["doc_id"], r["batch_id"], r["status"], r["dup_of"])
+        for r in snaplog.read(spark, f"{out}/status").collect()
+    }
+    spark.conf.set("spark.ofv.registered_sf", "")
+    want = {
+        (r["doc_id"], r["batch_id"], r["status"], r["dup_of"])
+        for r in tq.q_dedup_incremental_runner(spark, SF).collect()
+    }
+    assert got == want
+    assert any(s == "dup_of_seen" for _, _, s, _ in got) or len(got) > 0
+
+
+def test_replay_is_exactly_once(spark, tmp_path):
+    store, out, ck, src, schema = _run_stream(spark, tmp_path)
+    before = sorted(
+        tuple(r) for r in snaplog.read(spark, f"{out}/status").collect()
+    )
+    n_store = snaplog.read(spark, f"{store}/sh").count()
+    # fresh checkpoint dir -> the whole source replays from scratch; every
+    # epoch is already committed in the three logs, so nothing may change
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(schema).parquet(src)
+    q = ingest_dedup.run_ingest_dedup_stream(
+        spark, stream, store, out, str(tmp_path / "ck2")
+    )
+    q.awaitTermination(300)
+    after = sorted(tuple(r) for r in snaplog.read(spark, f"{out}/status").collect())
+    assert after == before
+    assert snaplog.read(spark, f"{store}/sh").count() == n_store
