@@ -35,6 +35,16 @@ def main() -> None:
         "overwrites + snapshot-id lineage; sources/snaplog.py)",
     )
     ap.add_argument("--streaming", action="store_true", help="structured-streaming mode")
+    ap.add_argument(
+        "--ingest-dedup",
+        action="store_true",
+        help="streaming ingest dedup: judge each micro-batch of documents "
+        "(--input-parquet dir, columns doc_id/text) against the SnapLog "
+        "signature store and append statuses + accepted signatures",
+    )
+    ap.add_argument(
+        "--store", default=None, help="signature-store dir for --ingest-dedup"
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,6 +62,26 @@ def main() -> None:
     from openfactverification_spark import checkpoint as ckpt
     from openfactverification_spark.plans.pipeline import run_to_sinks
     from openfactverification_spark.sources.transcripts import transcripts_df
+
+    if args.ingest_dedup:
+        if not args.input_parquet:
+            ap.error("--ingest-dedup requires --input-parquet (documents dir)")
+        from openfactverification_spark.streaming.ingest_dedup import (
+            run_ingest_dedup_stream,
+        )
+
+        schema = spark.read.parquet(args.input_parquet).schema
+        stream = spark.readStream.schema(schema).parquet(args.input_parquet)
+        q = run_ingest_dedup_stream(
+            spark,
+            stream,
+            args.store or f"{args.out}/store",
+            args.out,
+            f"{args.out}/_ingest_ckpt",
+        )
+        q.awaitTermination()
+        spark.stop()
+        return
 
     if args.streaming:
         from openfactverification_spark.streaming.pipeline import (
