@@ -224,6 +224,37 @@ def process_batch(
     )
 
 
+def maintain_store(
+    spark: SparkSession,
+    store_dir: str,
+    out_dir: str,
+    keep_last: int = 3,
+    min_files: int = 2,
+) -> dict:
+    """Housekeeping between batches: compact each table's small files (one
+    atomic rewrite snapshot) and expire snapshots beyond ``keep_last``.
+    Every append accretes files and one log entry, so without this the store
+    read fans out over per-epoch files and the startup replay scan walks an
+    unbounded log.
+
+    ``keep_last`` must exceed the stream's replay horizon: expiry drops old
+    log entries INCLUDING their ingest_epoch markers, so a replay older than
+    the retained suffix would not be recognized as committed. A healthy
+    stream replays at most the one batch in flight when it died; 3 is a
+    comfortable margin."""
+    audit: dict = {}
+    for table in (f"{store_dir}/sh", f"{store_dir}/bands", f"{out_dir}/status"):
+        if snaplog.current_snapshot(spark, table) is None:
+            continue
+        c = snaplog.compact(spark, table, min_files=min_files)
+        e = snaplog.expire_snapshots(spark, table, keep_last=keep_last)
+        audit[table] = {
+            "compacted": 0 if c is None else c["summary"]["compacted_files_in"],
+            **e,
+        }
+    return audit
+
+
 def run_ingest_dedup_stream(
     spark: SparkSession,
     docs_stream: DataFrame,
@@ -232,14 +263,19 @@ def run_ingest_dedup_stream(
     checkpoint_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
     available_now: bool = True,
+    maintain_every: int = 0,
 ):
     """Start the streaming ingest-dedup query over a streaming documents
-    source (columns doc_id, text). Returns the started StreamingQuery."""
+    source (columns doc_id, text). Returns the started StreamingQuery.
+    ``maintain_every=k`` runs compaction + snapshot expiry after every k-th
+    batch (0 = caller handles maintenance)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(
             spark, batch_df, batch_id, store_dir, out_dir, threshold=threshold
         )
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            maintain_store(batch_df.sparkSession, store_dir, out_dir)
 
     writer = docs_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_dir

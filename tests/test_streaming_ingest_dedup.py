@@ -54,6 +54,43 @@ def test_stream_statuses_equal_batch(spark, tmp_path):
     assert any(s == "dup_of_seen" for _, _, s, _ in got) or len(got) > 0
 
 
+def test_maintained_stream_same_results_bounded_log(spark, tmp_path):
+    """maintain_every=1 (compact + expire after every batch) must not change
+    any status or store row, and must bound the snapshot log."""
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ingest_dedup.seed_store(spark, docs.filter("doc_id % 3 = 0"), store)
+    for stratum in (1, 2):
+        docs.filter(f"doc_id % 3 = {stratum}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = ingest_dedup.run_ingest_dedup_stream(
+            spark,
+            spark.readStream.schema(docs.schema).parquet(src),
+            store,
+            out,
+            str(tmp_path / "ck"),
+            maintain_every=1,
+        )
+        q.awaitTermination(300)
+
+    got = {
+        (r["doc_id"], r["batch_id"], r["status"], r["dup_of"])
+        for r in snaplog.read(spark, f"{out}/status").collect()
+    }
+    spark.conf.set("spark.ofv.registered_sf", "")
+    want = {
+        (r["doc_id"], r["batch_id"], r["status"], r["dup_of"])
+        for r in tq.q_dedup_incremental_runner(spark, SF).collect()
+    }
+    assert got == want
+    # log bounded by expiry: at most keep_last retained snapshots per table
+    assert len(snaplog.history(spark, f"{store}/sh")) <= 3
+    assert len(snaplog.history(spark, f"{out}/status")) <= 3
+
+
 def test_replay_is_exactly_once(spark, tmp_path):
     store, out, ck, src, schema = _run_stream(spark, tmp_path)
     before = sorted(
