@@ -72,3 +72,29 @@ def test_cli_resume_mode_idempotent(tmp_path):
         e for e in os.listdir(mdir) if e.endswith(".json") and not e.startswith(".")
     )
     assert entries_after == entries
+
+
+def test_cli_ingest_dedup_mode(tmp_path, spark):
+    """--ingest-dedup end-to-end in a fresh interpreter: empty store, one
+    micro-batch with a planted exact pair -> keeper new, twin dup_in_batch."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (4, "x y z w v u")],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "out")
+    proc = _run("--ingest-dedup", "--input-parquet", src, "--out", out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    from openfactverification_spark.sources import snaplog
+
+    st = snaplog.read(spark, os.path.join(out, "status"))
+    rows = {(r["doc_id"], r["batch_id"], r["status"], r["dup_of"]) for r in st.collect()}
+    assert rows == {(1, 1, "new", None), (2, 1, "dup_in_batch", 1), (4, 1, "new", None)}
+    # accepted docs' signatures entered the store; the dropped twin's did not
+    store_ids = {
+        r["doc_id"]
+        for r in snaplog.read(spark, os.path.join(out, "store", "sh")).collect()
+    }
+    assert store_ids == {1, 4}
