@@ -305,6 +305,35 @@ def _logical_schema(df: DataFrame) -> str:
     return df.schema.json()
 
 
+def _evolved_schema(head: dict | None, df: DataFrame) -> str:
+    """Additive schema evolution at the MANIFEST level (the Iceberg-spec
+    model: schema lives in table metadata, data files stay immutable).
+
+    Rules: new columns append to the logical schema as nullable; existing
+    columns keep their position and type (a type change raises — that's a
+    rewrite, not an append); a frame MISSING existing columns does not drop
+    them — its files simply lack the column, and the explicit-schema parquet
+    read null-fills it (pinned by test). So every snapshot's schema is a
+    superset of all earlier ones and old snapshots stay time-travelable with
+    their own schema."""
+    if head is None:
+        return _logical_schema(df)
+    old = T.StructType.fromJson(json.loads(head["schema"]))
+    by_name = {f.name: f for f in old.fields}
+    fields = list(old.fields)
+    for f in df.schema.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            fields.append(T.StructField(f.name, f.dataType, True))
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"type change for column {f.name}: {have.dataType.simpleString()}"
+                f" -> {f.dataType.simpleString()} (evolution is additive;"
+                " changing a type is a table rewrite)"
+            )
+    return T.StructType(fields).json()
+
+
 def _data_schema(df: DataFrame, partition_cols: list[str]) -> None:
     missing = [c for c in partition_cols if c not in df.columns]
     if missing:
@@ -333,7 +362,7 @@ def append(
         fs,
         operation="append",
         new_files=new_files,
-        schema_json=_logical_schema(df),
+        schema_json=_evolved_schema(head, df),
         partition_cols=partition_cols,
         surviving=lambda files: list(files),
         summary_extra=summary_extra,
@@ -367,7 +396,7 @@ def overwrite_partitions(spark: SparkSession, table: str, df: DataFrame) -> dict
         fs,
         operation="overwrite_partitions",
         new_files=new_files,
-        schema_json=_logical_schema(df),
+        schema_json=_evolved_schema(head, df),
         partition_cols=partition_cols,
         surviving=surviving,
         summary_extra={"replaced_partitions": len(touched)},

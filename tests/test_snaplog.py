@@ -306,3 +306,48 @@ def test_streaming_snaplog_sink_exactly_once(spark, tmp_path):
         .withColumnRenamed("count", "n").collect()
     }
     assert got2 == want
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Additive evolution: a later append with an extra column evolves the
+    manifest schema; old files null-fill the new column on read (partitioned
+    table, so the basePath scan branch is the one exercised), and time travel
+    to the pre-evolution snapshot keeps the original schema."""
+    t = str(tmp_path / "evo")
+    s1 = snaplog.append(spark, t, _events(spark, 60), partition_cols=["day"])
+    evolved = _events(spark, 40, tag="n").withColumn(
+        "quality", (F.col("event_id") % 5).cast("int")
+    )
+    snaplog.append(spark, t, evolved)
+
+    head = snaplog.read(spark, t)
+    assert "quality" in head.columns
+    assert head.count() == 100
+    old_rows = head.filter(~F.col("payload").startswith("n"))
+    assert old_rows.count() == 60
+    assert old_rows.filter(F.col("quality").isNotNull()).count() == 0
+    assert head.filter(F.col("quality").isNotNull()).count() == 40
+
+    pinned = snaplog.read(spark, t, snapshot_id=s1["snapshot_id"])
+    assert "quality" not in pinned.columns
+    assert pinned.count() == 60
+
+
+def test_schema_evolution_missing_column_kept(spark, tmp_path):
+    """A frame missing an existing column does NOT drop it from the table:
+    the logical schema stays a superset and the new file reads as NULL."""
+    t = str(tmp_path / "evo2")
+    snaplog.append(spark, t, _events(spark, 30), partition_cols=["day"])
+    snaplog.append(spark, t, _events(spark, 20, tag="m").drop("value"))
+    head = snaplog.read(spark, t)
+    assert "value" in head.columns
+    assert head.count() == 50
+    assert head.filter(F.col("value").isNull()).count() == 20
+
+
+def test_schema_evolution_type_change_rejected(spark, tmp_path):
+    t = str(tmp_path / "evo3")
+    snaplog.append(spark, t, _events(spark, 10), partition_cols=["day"])
+    bad = _events(spark, 5).withColumn("value", F.col("value").cast("string"))
+    with pytest.raises(ValueError, match="type change"):
+        snaplog.append(spark, t, bad)
