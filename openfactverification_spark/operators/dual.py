@@ -1095,6 +1095,44 @@ SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
 FROM ranked WHERE rnk <= {k}"""
 
 
+def q_embed_ann_recall(
+    d: D, k: int = 3, n_queries: int = 30, nprobe: int | None = None
+) -> str:
+    """MEASURED recall@k of the IVF ANN against the exact brute-force top-k —
+    the quality number ANN implementations otherwise assert in prose, as an
+    oracle-paired one-row result (aggregate recall, per-query worst case).
+    Both rankings break cosine ties on neighbor_id, so the metric is
+    deterministic and cross-engine-identical.
+
+    The fixture's RANDOM 64-dim vectors are IVF's hardest case (no cluster
+    structure, so cell boundaries cut arbitrary neighborhoods): recall@3 at
+    the default 16 cells / nprobe=2 measures 0.30, and the registered
+    nprobe=4 twin shows the knob recovering recall at proportional probe
+    cost — on clustered production embeddings the same knobs sit far higher
+    (the k-means-refined path; tests/test_kmeans.py pins the improvement).
+
+    The two sub-queries are each referenced once, so Spark's CTE inlining
+    costs nothing extra here; DuckDB pins them MATERIALIZED only to spare its
+    binder the doubled tree."""
+    m = "" if d.spark else "MATERIALIZED "
+    ivf = q_embed_ivf_ann(d, k=k, n_queries=n_queries, nprobe=nprobe)
+    bf = q_embed_cosine_topk(d, k=k, n_queries=n_queries)
+    return f"""
+WITH ivf AS {m}({ivf}),
+bf AS {m}({bf}),
+hits AS (
+  SELECT bf.query_id, count(ivf.neighbor_id) AS n_hit, count(*) AS n_true
+  FROM bf LEFT JOIN ivf
+    ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+  GROUP BY bf.query_id
+)
+SELECT round(cast(sum(n_hit) as double) / sum(n_true), 6) AS recall_at_k,
+       {d.big('sum(n_hit)')} AS n_hit,
+       {d.big('sum(n_true)')} AS n_true,
+       round(min(cast(n_hit as double) / n_true), 6) AS worst_query_recall
+FROM hits"""
+
+
 def q_embed_dup_pairs(d: D, threshold: float = 0.40) -> str:
     """Embedding-cosine near-duplicate pairs (all-pairs at test scale; LSH-bucketed
     at production scale)."""

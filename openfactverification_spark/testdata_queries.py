@@ -49,6 +49,8 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "text_lang_id_model": dual.q_lang_id_model,
     "chunk_documents": dual.q_chunk_documents,
     "embed_cosine_topk": dual.q_embed_cosine_topk,
+    "embed_ann_recall": dual.q_embed_ann_recall,
+    "embed_ann_recall_probe4": partial(dual.q_embed_ann_recall, nprobe=4),
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
     "embed_neardup_planted_lsh": dual.q_embed_neardup_planted_lsh,
