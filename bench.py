@@ -124,6 +124,10 @@ def main() -> None:
     bench_pipeline(spark, 50_000)
     pipe_sec, n_turns = bench_pipeline(spark, PIPE_TURNS)
     pipe_sec2, _ = bench_pipeline(spark, PIPE_TURNS)
+    if max(pipe_sec, pipe_sec2) > 1.5 * min(pipe_sec, pipe_sec2):
+        # the two runs straddled a phase boundary — buy one more sample
+        pipe_sec3, _ = bench_pipeline(spark, PIPE_TURNS)
+        pipe_sec = min(pipe_sec, pipe_sec3)
     pipe_sec = min(pipe_sec, pipe_sec2)
     print(f"  pipeline_e2e: {pipe_sec:.1f}s", file=sys.stderr)
     timings["pipeline_e2e"] = round(pipe_sec, 3)
