@@ -1096,9 +1096,14 @@ FROM ranked WHERE rnk <= {k}"""
 
 
 def q_embed_ann_recall(
-    d: D, k: int = 3, n_queries: int = 30, nprobe: int | None = None
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    nprobe: int | None = None,
+    method: str = "ivf",
+    n_planes: int | None = None,
 ) -> str:
-    """MEASURED recall@k of the IVF ANN against the exact brute-force top-k —
+    """MEASURED recall@k of an ANN family against the exact brute-force top-k —
     the quality number ANN implementations otherwise assert in prose, as an
     oracle-paired one-row result (aggregate recall, per-query worst case).
     Both rankings break cosine ties on neighbor_id, so the metric is
@@ -1111,19 +1116,33 @@ def q_embed_ann_recall(
     cost — on clustered production embeddings the same knobs sit far higher
     (the k-means-refined path; tests/test_kmeans.py pins the improvement).
 
+    ``method='lsh'`` measures the hyperplane-bucket ANN instead (single-table
+    2^n_planes buckets). Measured on the fixture: 0.022 at the default 8
+    planes (256 buckets over 500 vectors ≈ 2 candidates/query) vs 0.167 at 4
+    planes — the planes knob IS the recall/candidate-volume dial, and a
+    single table tuned for near-empty buckets is a dup-candidate generator,
+    not a top-k ANN; recall-bearing search is the multi-table
+    (q_embed_dup_pairs_lsh) or IVF path. The ANN emits every vector as a
+    query; the LEFT JOIN from the n_queries-limited exact side restricts the
+    metric to the common set.
+
     The two sub-queries are each referenced once, so Spark's CTE inlining
     costs nothing extra here; DuckDB pins them MATERIALIZED only to spare its
     binder the doubled tree."""
     m = "" if d.spark else "MATERIALIZED "
-    ivf = q_embed_ivf_ann(d, k=k, n_queries=n_queries, nprobe=nprobe)
+    if method == "ivf":
+        ann = q_embed_ivf_ann(d, k=k, n_queries=n_queries, nprobe=nprobe)
+    else:
+        assert method == "lsh", method
+        ann = q_embed_lsh_ann(d, k=k, n_planes=n_planes)
     bf = q_embed_cosine_topk(d, k=k, n_queries=n_queries)
     return f"""
-WITH ivf AS {m}({ivf}),
+WITH ann AS {m}({ann}),
 bf AS {m}({bf}),
 hits AS (
-  SELECT bf.query_id, count(ivf.neighbor_id) AS n_hit, count(*) AS n_true
-  FROM bf LEFT JOIN ivf
-    ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+  SELECT bf.query_id, count(ann.neighbor_id) AS n_hit, count(*) AS n_true
+  FROM bf LEFT JOIN ann
+    ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
   GROUP BY bf.query_id
 )
 SELECT round(cast(sum(n_hit) as double) / sum(n_true), 6) AS recall_at_k,

@@ -51,6 +51,10 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_cosine_topk": dual.q_embed_cosine_topk,
     "embed_ann_recall": dual.q_embed_ann_recall,
     "embed_ann_recall_probe4": partial(dual.q_embed_ann_recall, nprobe=4),
+    "embed_lsh_recall": partial(dual.q_embed_ann_recall, method="lsh"),
+    "embed_lsh_recall_planes4": partial(
+        dual.q_embed_ann_recall, method="lsh", n_planes=4
+    ),
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
     "embed_neardup_planted_lsh": dual.q_embed_neardup_planted_lsh,
