@@ -488,3 +488,18 @@ def test_lsh_hi_regime_candidates_sublinear(spark):
     pairs = spark.sql(q(_S)).collect()
     assert len(pairs) == row["n_verified"]
     assert all(p["is_planted"] for p in pairs)
+
+
+def test_ann_recall_knobs_monotone(spark):
+    """The measured-recall quartet must order the way the scale knobs claim:
+    more probes / fewer planes -> strictly higher recall@k (the oracle gate
+    pins cross-engine equality; this pins the semantics of the knobs)."""
+    def recall(**kw):
+        return spark.sql(dual.q_embed_ann_recall(_S, **kw)).collect()[0]["recall_at_k"]
+
+    ivf2, ivf4 = recall(), recall(nprobe=4)
+    lsh8, lsh4 = recall(method="lsh"), recall(method="lsh", n_planes=4)
+    assert ivf4 > ivf2 > 0
+    assert lsh4 > lsh8 > 0
+    # IVF at equal-ish candidate budgets beats single-table LSH here
+    assert ivf2 > lsh4
