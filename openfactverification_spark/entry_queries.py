@@ -407,12 +407,69 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
 }
 
 
+# Driver-window rotation (round 4). The per-round CORRECTNESS file snapshots the
+# FIRST 50 entries of queries() in iteration order (r1=43, r2=50, r3=50 rows —
+# always a prefix window). Rounds 1-3 left 35 registry queries without a single
+# green driver row (chunk_passages' only row ever is its r1 FAIL; the other 34
+# were rotated out when round 3 inserted new entries mid-order). This list pins
+# those 35 to the FRONT of the registry so round 4's window finally covers them;
+# new round-4 queries go in _ROUND4_PRIORITY right behind (35 + them <= 50).
+# Queries with green r1-r3 rows keep their relative order at the tail — their
+# rows remain on record. Rationale + audit trail: COVERAGE.md.
+_NEVER_DRIVER_GREEN_R3: tuple[str, ...] = (
+    "chunk_passages",
+    "events_window_join",
+    "events_window_join_binned",
+    "events_value_percentiles",
+    "pii_redact",
+    "quality_repetition",
+    "dedup_ngram_spans",
+    "decontaminate_eval",
+    "quality_perplexity",
+    "bm25_search",
+    "events_scd2",
+    "events_distinct_daily",
+    "events_zorder_key",
+    "embed_kmeans_step",
+    "embed_kmeans_converged",
+    "semantic_dedup",
+    "tokenize_bpe",
+    "corpus_top_terms",
+    "corpus_top_terms_cms",
+    "pagerank_trade",
+    "events_cdc_merge",
+    "events_asof_value",
+    "events_histogram",
+    "events_winsorize",
+    "text_token_entropy",
+    "events_funnel",
+    "events_retention",
+    "events_anomaly_mad",
+    "events_sliding_rate",
+    "events_grok_parse",
+    "multimodal_frames",
+    "dedup_components",
+    "pack_sequences",
+    "snaplog_overwrite_daily",
+    "embed_ivf_ann_refined",
+)
+
+# New round-4 entries that have never had a driver row either — they ride in the
+# window right behind the backlog (35 + len(this) must stay <= 50).
+_ROUND4_PRIORITY: tuple[str, ...] = ()
+
+
 def build_queries() -> dict[str, QuerieFn]:
-    out: dict[str, QuerieFn] = {}
-    out.update(PIPELINE_QUERIES)
+    merged: dict[str, QuerieFn] = {}
+    merged.update(PIPELINE_QUERIES)
     from .testdata_queries import TESTDATA_QUERIES
 
-    out.update(TESTDATA_QUERIES)
+    merged.update(TESTDATA_QUERIES)
+    priority = _NEVER_DRIVER_GREEN_R3 + _ROUND4_PRIORITY
+    out: dict[str, QuerieFn] = {name: merged[name] for name in priority}
+    for name, fn in merged.items():
+        if name not in out:
+            out[name] = fn
     return out
 
 
