@@ -116,18 +116,28 @@ class _Fs:
 
     def create_exclusive(self, p, payload: dict) -> bool:
         """Atomic create-no-overwrite; False when another writer won the race.
-        (HDFS: atomic namespace op; local FS: existence-checked create;
-        S3A: conditional PUT on recent Hadoop — see module docstring.)"""
+
+        The payload is fully written to a TEMP name first and then renamed
+        into place, so a crash or I/O error mid-payload leaves only an
+        ignorable ``.tmp`` file — never a truncated ``v{N}.json`` that every
+        later read would choke on (the same tmp+rename discipline as
+        checkpoint._ManifestIO). Rename-without-overwrite is atomic on HDFS;
+        on the local FS the exists-recheck narrows the race to same-process
+        tests, and a loser that does slip through is caught by _head()'s
+        quarantine of an unparseable head."""
         if self.fs.exists(p):
             return False
-        try:
-            out = self.fs.create(p, False)
-        except Exception:  # FileAlreadyExistsException from the JVM
-            return False
+        tmp = self.path_cls(
+            p.getParent(), f".{p.getName()}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        out = self.fs.create(tmp, False)
         try:
             out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
+        if self.fs.exists(p) or not self.fs.rename(tmp, p):
+            self.fs.delete(tmp, False)
+            return False
         return True
 
     def list_names(self, p) -> list[str]:
@@ -165,6 +175,20 @@ def _snapshot_id(parent: str | None, files: list[dict]) -> str:
     return h.hexdigest()[:16]
 
 
+def _hive_value(value: object, dtype: "T.DataType | None") -> str:
+    """A filter value -> the hive directory-name string Spark's partitionBy
+    writer produced for it, typed by the table schema. str(True) is 'True'
+    but the writer emits 'true'; without this a Python bool filter silently
+    pruned every file."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(dtype, T.BooleanType) or isinstance(value, bool):
+        if isinstance(value, str):
+            return value.lower()
+        return "true" if value else "false"
+    return str(value)  # date/datetime/int/str: str() is the hive form
+
+
 def _parse_partition(rel_path: str, partition_cols: list[str]) -> dict[str, str]:
     """Hive-style `col=value` segments of a data-file path -> {col: value}."""
     vals: dict[str, str] = {}
@@ -191,11 +215,33 @@ def _load_snapshot(fs: _Fs, version: int) -> dict:
     return fs.read_json(fs.path(LOG_DIR, f"v{version}.json"))
 
 
+def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
+    """(newest parseable snapshot, live versions). An unparseable HEAD file can
+    only be a crashed/raced writer's debris (committed heads land via
+    tmp+rename, atomically whole): quarantine it to ``v{N}.json.corrupt-*``
+    and fall back to the previous version, so one torn write never bricks the
+    table. Corruption BELOW a parseable head is not auto-healed — that is
+    committed data damaged externally, and reads of it should raise."""
+    while True:
+        vs = _versions(fs)
+        if not vs:
+            return None, []
+        try:
+            return _load_snapshot(fs, vs[-1]), vs
+        except ValueError:  # json.JSONDecodeError subclasses ValueError
+            src = fs.path(LOG_DIR, f"v{vs[-1]}.json")
+            dst = fs.path_cls(
+                src.getParent(),
+                f"v{vs[-1]}.json.corrupt-{uuid.uuid4().hex[:8]}",
+            )
+            if not fs.fs.rename(src, dst):
+                fs.delete(src, False)
+
+
 def current_snapshot(spark: SparkSession, table: str) -> dict | None:
     """The newest committed snapshot (None for a not-yet-created table)."""
     fs = _Fs(spark, table)
-    vs = _versions(fs)
-    return _load_snapshot(fs, vs[-1]) if vs else None
+    return _head(fs)[0]
 
 
 def current_snapshot_id(spark: SparkSession, table: str) -> str | None:
@@ -264,8 +310,7 @@ def _commit(
     from that exact head and would silently drop a concurrent writer's
     files if replayed against a newer one."""
     for _ in range(_COMMIT_RETRIES):
-        vs = _versions(fs)
-        head = _load_snapshot(fs, vs[-1]) if vs else None
+        head, vs = _head(fs)
         if require_parent is not None and (
             head is None or head["snapshot_id"] != require_parent
         ):
@@ -427,15 +472,15 @@ def rollback(spark: SparkSession, table: str, snapshot_id: str) -> dict:
 
 
 def _resolve(fs: _Fs, snapshot_id: str | None, version: int | None) -> dict:
-    vs = _versions(fs)
-    if not vs:
+    head, vs = _head(fs)
+    if head is None:
         raise ValueError(f"no snapshots at {fs.root}")
     if version is not None:
         if version not in vs:
             raise ValueError(f"unknown version {version}")
         return _load_snapshot(fs, version)
     if snapshot_id is None:
-        return _load_snapshot(fs, vs[-1])
+        return head
     for v in reversed(vs):
         s = _load_snapshot(fs, v)
         if s["snapshot_id"] == snapshot_id:
@@ -455,9 +500,11 @@ def read(
 
     ``partition_filter`` maps partition column -> value or collection of
     values and prunes at the MANIFEST: filtered-out files are never given to
-    Spark (verifiable via ``df.inputFiles()``). Values are compared against
-    the hive-encoded strings the writer produced, after casting through the
-    table schema, so date/int filters behave naturally.
+    Spark (verifiable via ``df.inputFiles()``). Each value is normalized to
+    the hive-encoded string the writer produced, typed by the table schema's
+    partition column (bool -> ``true``/``false``, None -> the hive default
+    partition, date/int/str via their canonical str form), so Python-typed
+    filters behave naturally.
 
     Plan shape: one parquet scan per live partition value group (columnar,
     codegen'd), partition columns re-attached as typed literals — foldable
@@ -470,13 +517,14 @@ def read(
 
     files = snap["files"]
     if partition_filter:
+        dtypes = {f.name: f.dataType for f in schema.fields}
         norm: dict[str, set[str]] = {}
         for col, wanted in partition_filter.items():
             if col not in pcols:
                 raise ValueError(f"{col} is not a partition column of {table}")
             if isinstance(wanted, (str, bytes)) or not hasattr(wanted, "__iter__"):
                 wanted = [wanted]
-            norm[col] = {str(w) for w in wanted}
+            norm[col] = {_hive_value(w, dtypes.get(col)) for w in wanted}
         files = [
             f
             for f in files

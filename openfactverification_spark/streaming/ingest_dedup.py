@@ -46,6 +46,43 @@ def _committed_epochs(spark: SparkSession, table: str) -> set:
     }
 
 
+class CommittedEpochs:
+    """Per-table committed ingest_epoch sets, loaded from the snapshot log
+    ONCE per table per stream start and maintained in memory after each
+    append — without this, every micro-batch re-reads every snapshot JSON of
+    all three tables (O(log length) driver I/O per batch, unbounded without
+    maintain_store). Same seeding pattern as run_to_sinks_stream_snaplog's
+    committed-id set. A fresh instance (stream restart) reloads from the log,
+    so replay skips survive the process."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._sets: dict[str, set] = {}
+
+    def get(self, table: str) -> set:
+        if table not in self._sets:
+            self._sets[table] = _committed_epochs(self._spark, table)
+        return self._sets[table]
+
+    def add(self, table: str, epoch: int) -> None:
+        self.get(table).add(epoch)
+
+
+def _pre_epoch_snapshot_id(spark: SparkSession, table: str, epoch: int) -> str | None:
+    """Newest snapshot NOT committed under this ingest_epoch — the store view a
+    replay must judge against. A crash between the store appends and the
+    status append leaves this epoch's accepted signatures already in the
+    store; recomputing `seen` against the unpinned head would self-match
+    every accepted doc at jaccard 1.0 (dup_of_seen of itself) and reclassify
+    the dup_in_batch docs. Pinning store reads to the pre-epoch snapshot
+    makes the replay byte-identical to the first attempt. Returns None when
+    every snapshot carries this epoch (the store was empty before it)."""
+    for h in reversed(snaplog.history(spark, table)):
+        if h["summary"].get("ingest_epoch") != epoch:
+            return h["snapshot_id"]
+    return None
+
+
 def _shingles(docs: DataFrame) -> DataFrame:
     # df.sparkSession, NOT the caller's session: inside foreachBatch the
     # micro-batch DataFrame belongs to a CLONED SparkSession, and temp views
@@ -105,6 +142,7 @@ def _append_accepted(
     bands: DataFrame,
     accepted: DataFrame,
     epoch: int | None,
+    epochs: CommittedEpochs | None = None,
 ) -> None:
     """Append the accepted docs' shingle + band streams to the store, skipping
     any table that already committed this epoch (replay)."""
@@ -113,11 +151,15 @@ def _append_accepted(
         (f"{store_dir}/sh", sh, "sh"),
         (f"{store_dir}/bands", bands, "bands"),
     ):
-        if epoch is not None and epoch in _committed_epochs(spark, table):
-            continue
+        if epoch is not None:
+            committed = epochs.get(table) if epochs else _committed_epochs(spark, table)
+            if epoch in committed:
+                continue
         rows = df.join(accepted, "doc_id", "semi")
         if not rows.isEmpty():
             snaplog.append(spark, table, rows, summary_extra=extra)
+            if epochs is not None and epoch is not None:
+                epochs.add(table, epoch)
 
 
 def seed_store(spark: SparkSession, docs: DataFrame, store_dir: str) -> None:
@@ -136,24 +178,40 @@ def process_batch(
     store_dir: str,
     out_dir: str,
     threshold: float = DEFAULT_THRESHOLD,
+    epochs: CommittedEpochs | None = None,
 ) -> None:
     """Judge one ingest batch against the store; append statuses + accepted
-    signatures. batch_id in the output is epoch + 1 (epoch is 0-based)."""
+    signatures. batch_id in the output is epoch + 1 (epoch is 0-based).
+
+    Crash-safe replay: store reads are PINNED to the newest snapshot not
+    carrying this ingest_epoch (_pre_epoch_snapshot_id), so a crash between
+    the store appends and the status append replays against the same store
+    view the first attempt saw — the per-table skip then completes only the
+    missing appends and the status rows come out identical (pinned by
+    tests/test_streaming_ingest_dedup.py::test_crash_between_store_and_status)."""
     # one session for every view/SQL in this batch: the micro-batch DataFrame
     # lives in a CLONED SparkSession and temp views are session-scoped
     s = batch_df.sparkSession
     status_table = f"{out_dir}/status"
-    if epoch in _committed_epochs(s, status_table):
+    committed = epochs.get(status_table) if epochs else _committed_epochs(s, status_table)
+    if epoch in committed:
         return  # full replay of a committed batch
     batch_df = batch_df.select("doc_id", "text").localCheckpoint(eager=True)
     sh_b = _shingles(batch_df)
     bands_b = _bands(sh_b)
 
     store_sh_t, store_bands_t = f"{store_dir}/sh", f"{store_dir}/bands"
+    pin_sh = pin_bands = None
     has_store = snaplog.current_snapshot(s, store_bands_t) is not None
     if has_store:
-        sh_s = snaplog.read(s, store_sh_t)
-        bands_s = snaplog.read(s, store_bands_t)
+        pin_bands = _pre_epoch_snapshot_id(s, store_bands_t, epoch)
+        pin_sh = _pre_epoch_snapshot_id(s, store_sh_t, epoch)
+        # every snapshot carries this epoch -> the store held nothing before
+        # this batch first ran; judge against an empty store, as run 1 did
+        has_store = pin_bands is not None and pin_sh is not None
+    if has_store:
+        sh_s = snaplog.read(s, store_sh_t, snapshot_id=pin_sh)
+        bands_s = snaplog.read(s, store_bands_t, snapshot_id=pin_bands)
         cand_seen = (
             bands_b.alias("q")
             .join(
@@ -218,10 +276,12 @@ def process_batch(
     )
     # store first, status last: the status commit is the batch's completion
     # marker, so a crash mid-way leaves a replayable (per-table-skipped) epoch
-    _append_accepted(s, store_dir, sh_b, bands_b, accepted, epoch)
+    _append_accepted(s, store_dir, sh_b, bands_b, accepted, epoch, epochs=epochs)
     snaplog.append(
         s, status_table, status, summary_extra={"ingest_epoch": epoch}
     )
+    if epochs is not None:
+        epochs.add(status_table, epoch)
 
 
 def maintain_store(
@@ -270,9 +330,17 @@ def run_ingest_dedup_stream(
     ``maintain_every=k`` runs compaction + snapshot expiry after every k-th
     batch (0 = caller handles maintenance)."""
 
+    epochs = CommittedEpochs(spark)
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         process_batch(
-            spark, batch_df, batch_id, store_dir, out_dir, threshold=threshold
+            spark,
+            batch_df,
+            batch_id,
+            store_dir,
+            out_dir,
+            threshold=threshold,
+            epochs=epochs,
         )
         if maintain_every and (batch_id + 1) % maintain_every == 0:
             maintain_store(batch_df.sparkSession, store_dir, out_dir)

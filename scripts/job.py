@@ -46,6 +46,10 @@ def main() -> None:
         "--store", default=None, help="signature-store dir for --ingest-dedup"
     )
     args = ap.parse_args()
+    if args.snaplog_sink and not (args.resume or args.streaming or args.ingest_dedup):
+        # the plain batch path writes parquet sinks directly; silently
+        # ignoring the flag would fake a versioned commit the user asked for
+        ap.error("--snaplog-sink requires --resume or --streaming")
 
     from pyspark.sql import SparkSession
 
@@ -86,6 +90,7 @@ def main() -> None:
     if args.streaming:
         from openfactverification_spark.streaming.pipeline import (
             run_to_sinks_stream,
+            run_to_sinks_stream_snaplog,
             transcripts_stream,
         )
 
@@ -94,7 +99,8 @@ def main() -> None:
             stream = spark.readStream.schema(schema).parquet(args.input_parquet)
         else:
             stream = transcripts_stream(spark)
-        q = run_to_sinks_stream(
+        runner = run_to_sinks_stream_snaplog if args.snaplog_sink else run_to_sinks_stream
+        q = runner(
             spark, stream, args.out, f"{args.out}/_stream_ckpt",
             available_now=bool(args.input_parquet),  # rate source runs until killed
         )

@@ -351,3 +351,51 @@ def test_schema_evolution_type_change_rejected(spark, tmp_path):
     bad = _events(spark, 5).withColumn("value", F.col("value").cast("string"))
     with pytest.raises(ValueError, match="type change"):
         snaplog.append(spark, t, bad)
+
+
+def test_torn_head_write_is_quarantined_not_bricking(spark, tmp_path):
+    """A truncated v{N}.json (crashed writer mid-payload, pre-tmp+rename
+    debris) must not brick the table: _head() quarantines it, reads fall back
+    to the previous snapshot, and the next commit reclaims the version slot."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 30, tag="a"), partition_cols=["day"])
+    log = tmp_path / "tbl" / "_snaplog"
+    (log / "v2.json").write_text('{"version": 2, "files": [{"trunc')
+
+    head = snaplog.current_snapshot(spark, t)
+    assert head["version"] == 1
+    assert snaplog.read(spark, t).count() == 30
+    # the torn file was moved aside, so v2 is free for the next commit
+    s2 = snaplog.append(spark, t, _events(spark, 12, tag="b"))
+    assert s2["version"] == 2
+    assert snaplog.read(spark, t).count() == 42
+    assert any(n.startswith("v2.json.corrupt-") for n in os.listdir(log))
+
+
+def test_commit_payload_lands_via_tmp_rename(spark, tmp_path):
+    """create_exclusive writes through a temp name: no committed log file may
+    coexist with leftover tmp debris being mistaken for a snapshot, and a
+    stray tmp file never enters the version listing."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 10), partition_cols=["day"])
+    log = tmp_path / "tbl" / "_snaplog"
+    (log / ".v9.json.deadbeef.tmp").write_text("{}")
+    assert snaplog.current_snapshot(spark, t)["version"] == 1
+    s2 = snaplog.append(spark, t, _events(spark, 10))
+    assert s2["version"] == 2  # tmp file did not claim v9
+
+
+def test_partition_filter_normalizes_python_types(spark, tmp_path):
+    """A Python bool filter must match the writer's lowercase hive encoding
+    (str(True) == 'True' used to prune every file silently)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True)], "id long, flag boolean"
+    )
+    snaplog.append(spark, t, df, partition_cols=["flag"])
+    hits = snaplog.read(spark, t, partition_filter={"flag": True})
+    assert sorted(r["id"] for r in hits.collect()) == [1, 3]
+    misses = snaplog.read(spark, t, partition_filter={"flag": False})
+    assert sorted(r["id"] for r in misses.collect()) == [2]
+    # string form still accepted, any case
+    assert snaplog.read(spark, t, partition_filter={"flag": "True"}).count() == 2

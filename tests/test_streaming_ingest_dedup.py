@@ -107,3 +107,54 @@ def test_replay_is_exactly_once(spark, tmp_path):
     after = sorted(tuple(r) for r in snaplog.read(spark, f"{out}/status").collect())
     assert after == before
     assert snaplog.read(spark, f"{store}/sh").count() == n_store
+
+
+def test_crash_between_store_and_status_replays_identically(spark, tmp_path, monkeypatch):
+    """ADVICE r3 (high): a crash AFTER the store appends but BEFORE the status
+    append used to corrupt the replay — process_batch recomputed `seen`
+    against a store already holding this epoch's accepted signatures, so
+    every accepted doc self-matched at jaccard 1.0 and was committed as
+    dup_of_seen of itself. The fix pins store reads to the pre-epoch
+    snapshot; this kills the process at exactly that boundary and asserts the
+    replayed statuses equal an uncrashed run's."""
+    docs = _docs(spark)
+    runs = {}
+    for mode in ("clean", "crashy"):
+        store = str(tmp_path / mode / "store")
+        out = str(tmp_path / mode / "out")
+        ingest_dedup.seed_store(spark, docs.filter("doc_id % 3 = 0"), store)
+        batches = [
+            docs.filter("doc_id % 3 = 1").localCheckpoint(eager=True),
+            docs.filter("doc_id % 3 = 2").localCheckpoint(eager=True),
+        ]
+        ingest_dedup.process_batch(spark, batches[0], 0, store, out)
+        if mode == "crashy":
+            real_append = snaplog.append
+
+            def boom(s, table, df, *a, **kw):
+                if table.endswith("/status"):
+                    raise RuntimeError("killed before status commit")
+                return real_append(s, table, df, *a, **kw)
+
+            monkeypatch.setattr(ingest_dedup.snaplog, "append", boom)
+            try:
+                ingest_dedup.process_batch(spark, batches[1], 1, store, out)
+                raise AssertionError("crash hook did not fire")
+            except RuntimeError:
+                pass
+            monkeypatch.setattr(ingest_dedup.snaplog, "append", real_append)
+            # the store tables DID commit epoch 1; status did not
+            assert 1 not in ingest_dedup._committed_epochs(spark, f"{out}/status")
+            assert 1 in ingest_dedup._committed_epochs(spark, f"{store}/sh")
+        # replay (crashy) / first run (clean) of epoch 1
+        ingest_dedup.process_batch(spark, batches[1], 1, store, out)
+        runs[mode] = {
+            tuple(r)
+            for r in snaplog.read(spark, f"{out}/status")
+            .select("doc_id", "batch_id", "status", "dup_of")
+            .collect()
+        }
+        assert not any(
+            s == "dup_of_seen" and d == i for i, _, s, d in runs[mode]
+        ), "self-match: replay judged a doc against its own signatures"
+    assert runs["crashy"] == runs["clean"]
