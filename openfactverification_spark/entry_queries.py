@@ -456,7 +456,11 @@ _NEVER_DRIVER_GREEN_R3: tuple[str, ...] = (
 
 # New round-4 entries that have never had a driver row either — they ride in the
 # window right behind the backlog (35 + len(this) must stay <= 50).
-_ROUND4_PRIORITY: tuple[str, ...] = ()
+_ROUND4_PRIORITY: tuple[str, ...] = (
+    "embed_recall_clustered_refined",
+    "embed_recall_clustered_probe2",
+    "embed_recall_clustered_seeded",
+)
 
 
 def build_queries() -> dict[str, QuerieFn]:

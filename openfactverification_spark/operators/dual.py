@@ -1064,22 +1064,25 @@ def _dot_lit(d: D, col: str, vec: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def cosine_cte(d: D) -> str:
-    """CTE `nv`: embeddings with precomputed L2 norm (norm once, not per pair)."""
+def cosine_cte(d: D, source: str = "embeddings") -> str:
+    """CTE `nv`: embeddings with precomputed L2 norm (norm once, not per pair).
+    ``source`` swaps the vector table (e.g. the clustered-geometry fixture)."""
     return f"""nv AS (
   SELECT vec_id, label, embedding,
          sqrt({_dot(d, 'embedding', 'embedding')}) AS nrm
-  FROM embeddings
+  FROM {source}
 )"""
 
 
-def q_embed_cosine_topk(d: D, k: int = 5, n_queries: int = 50) -> str:
+def q_embed_cosine_topk(
+    d: D, k: int = 5, n_queries: int = 50, source: str = "embeddings"
+) -> str:
     """Brute-force cosine top-k neighbors for the first n_queries vectors —
     the exact baseline ANN implementations are measured against. O(Q*N); the
     scale path is q_embed_lsh_ann."""
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
     return f"""
-WITH {cosine_cte(d)},
+WITH {cosine_cte(d, source)},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round({cos}, 6) AS cosine
@@ -1611,6 +1614,8 @@ def q_embed_ivf_ann(
     n_cells: int | None = None,
     nprobe: int | None = None,
     centroids: list | None = None,
+    source: str = "embeddings",
+    stats: bool = False,
 ) -> str:
     """IVF ANN: every vector is assigned to its nearest centroid (primary
     cell); each query searches its `nprobe` nearest cells with exact cosine
@@ -1654,8 +1659,12 @@ def q_embed_ivf_ann(
             for i in range(n_cells)
         )
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    cand_col = (
+        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q" if stats else ""
+    )
+    cand_out = f",\n       {d.big('n_cand_q')} AS n_cand_q" if stats else ""
     return f"""
-WITH {cosine_cte(d)},
+WITH {cosine_cte(d, source)},
 dvals AS (
   SELECT vec_id, embedding, nrm, {dval_cols}
   FROM nv
@@ -1682,11 +1691,11 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cell, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk{cand_col}
   FROM scored
 )
 SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
-       cast(cell as int) AS cell, cosine, cast(rnk as int) AS rnk
+       cast(cell as int) AS cell, cosine, cast(rnk as int) AS rnk{cand_out}
 FROM ranked WHERE rnk <= {k}"""
 
 
@@ -2564,7 +2573,9 @@ FROM dims JOIN members m ON m.cell_id = dims.cell_id
 GROUP BY dims.cell_id, pos"""
 
 
-def q_embed_kmeans_converged(d: D, n_cells: int = 8, rounds: int = 3) -> str:
+def q_embed_kmeans_converged(
+    d: D, n_cells: int = 8, rounds: int = 3, source: str = "embeddings"
+) -> str:
     """Lloyd's k-means run for a FIXED number of refinement rounds — the
     oracle-paired twin of the open-ended convergence loop in
     operators/kmeans.py (fixed round count because an oracle must be
@@ -2589,7 +2600,7 @@ def q_embed_kmeans_converged(d: D, n_cells: int = 8, rounds: int = 3) -> str:
     Scale: per round one scan of the vectors, one (cells x dim)-row exchange,
     and a tiny single-row matrix rebuild — the classic centroids-on-driver
     Lloyd's shape with the driver replaced by a one-row broadcast."""
-    ctes, final_a = _kmeans_chain(d, n_cells, rounds)
+    ctes, final_a = _kmeans_chain(d, n_cells, rounds, source=source)
     ctes.append(
         f"members AS (SELECT cell_id, count(*) AS n_members FROM {final_a} GROUP BY cell_id)"
     )
@@ -2603,11 +2614,15 @@ SELECT cast(g.cell_id as int) AS cell_id,
 FROM g{rounds} g LEFT JOIN members m ON g.cell_id = m.cell_id"""
 
 
-def _kmeans_chain(d: D, n_cells: int, rounds: int) -> tuple[list[str], str]:
+def _kmeans_chain(
+    d: D, n_cells: int, rounds: int, source: str = "embeddings"
+) -> tuple[list[str], str]:
     """The fixed-round Lloyd's CTE chain shared by q_embed_kmeans_converged
     and q_embed_ivf_ann_refined: returns (ctes, last-assignment CTE name);
     after the chain, ``c{rounds}`` is the single-row refined centroid matrix
-    and ``g{rounds}`` its (cell_id, pos, val) long form."""
+    and ``g{rounds}`` its (cell_id, pos, val) long form. ``source`` swaps the
+    vector table (the clustered-geometry recall fixture reads ``cemb``).
+    ``rounds=0`` degenerates to the seeded pool (c0) with no refinement."""
     dim = H.EMBED_DIM
     cents = H.IVF_CENTROID_POOL[:n_cells]
     centm = d.arr([d.arr(row) for row in cents])
@@ -2660,7 +2675,7 @@ def _kmeans_chain(d: D, n_cells: int, rounds: int) -> tuple[list[str], str]:
             f"""a{r} AS (
   SELECT vec_id, embedding, {argmax} AS cell_id
   FROM (SELECT vec_id, embedding, {darr} AS darr
-        FROM embeddings CROSS JOIN {prev}) w{r}
+        FROM {source} CROSS JOIN {prev}) w{r}
 )"""
         )
         ctes.append(f"u{r} AS ({unpivot})")
@@ -2688,6 +2703,8 @@ def q_embed_ivf_ann_refined(
     n_cells: int = 8,
     rounds: int = 3,
     nprobe: int = 2,
+    source: str = "embeddings",
+    stats: bool = False,
 ) -> str:
     """IVF ANN over K-MEANS-REFINED centroids — the composition
     q_embed_ivf_ann's docstring promises ('production: k-means-refined'):
@@ -2705,8 +2722,14 @@ def q_embed_ivf_ann_refined(
     collect-then-literal split runs each round once and keeps the search
     projection codegen'd. Hash-equality between the two is exactly the
     refined-centroid determinism guarantee (6 dp rounding per round) the
-    kmeans twin test pins."""
-    ctes, _ = _kmeans_chain(d, n_cells, rounds)
+    kmeans twin test pins.
+
+    ``source`` swaps the vector table (default the raw embeddings; the
+    clustered recall fixture passes ``cemb``). ``stats=True`` adds a
+    per-query candidate count column (n_cand_q) so a composing recall query
+    can report the probe cost it actually paid — the embed_lsh_hi_stats
+    discipline applied to IVF."""
+    ctes, _ = _kmeans_chain(d, n_cells, rounds, source=source)
     prod = (
         f"cast({d.elem('embedding', 'j')} as double) * "
         f"{d.elem(d.elem('cm', 'i'), 'j')}"
@@ -2727,7 +2750,7 @@ def q_embed_ivf_ann_refined(
             f"    FROM dvals, (SELECT unnest(range(0, {n_cells})) AS i) i"
         )
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    ctes.append(cosine_cte(d))
+    ctes.append(cosine_cte(d, source))
     ctes.append(
         f"""dvals AS (
   SELECT vec_id, embedding, nrm, {darr} AS darr
@@ -2735,6 +2758,10 @@ def q_embed_ivf_ann_refined(
 )"""
     )
     body = ",\n".join(ctes)
+    cand_col = (
+        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q" if stats else ""
+    )
+    cand_out = f",\n       {d.big('n_cand_q')} AS n_cand_q" if stats else ""
     return f"""
 WITH {body},
 assign AS (
@@ -2759,12 +2786,111 @@ scored AS (
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cell, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk{cand_col}
   FROM scored
 )
 SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
-       cast(cell as int) AS cell, cosine, cast(rnk as int) AS rnk
+       cast(cell as int) AS cell, cosine, cast(rnk as int) AS rnk{cand_out}
 FROM ranked WHERE rnk <= {k}"""
+
+
+def clustered_embeddings_cte(
+    d: D, n_clusters: int = 16, blend: float = 0.85
+) -> str:
+    """CTE ``cemb``: the clustered-geometry recall fixture, derived
+    DETERMINISTICALLY from the existing embeddings table (no new data).
+
+    Random 64-dim vectors are the adversarial regime for any cell/bucket ANN
+    (no neighborhood structure, so every boundary cuts true neighbors —
+    q_embed_ann_recall measures 0.30-0.53 there). Real embedding spaces are
+    clustered. This fixture represents them: vector i becomes
+    ``blend * anchor(i % n_clusters) + (1-blend) * e_i`` where the anchors
+    are the first n_clusters raw vectors — near-orthogonal in 64-dim, so
+    same-cluster cosine lands near blend^2 / (blend^2 + (1-blend)^2) ~ 0.97
+    and cross-cluster near 0. Every vector's exact top-k therefore lives in
+    its own cluster, which is precisely the structure IVF cells must recover
+    for recall to be reachable at small nprobe. Components are rounded to
+    6 dp so both engines blend bit-identically."""
+    mix = (
+        f"round({blend} * cast({d.elem('a.embedding', 'i')} as double)"
+        f" + {round(1.0 - blend, 6)} * cast({d.elem('v.embedding', 'i')} as double), 6)"
+    )
+    emb = d.transform(d.seq(0, H.EMBED_DIM - 1), "i", mix)
+    return f"""cemb AS (
+  SELECT v.vec_id, v.label, {emb} AS embedding
+  FROM embeddings v JOIN embeddings a ON a.vec_id = v.vec_id % {n_clusters}
+)"""
+
+
+def q_embed_ann_recall_clustered(
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    n_cells: int = 16,
+    rounds: int = 2,
+    nprobe: int = 1,
+    n_clusters: int = 16,
+    blend: float = 0.85,
+) -> str:
+    """Recall@k of IVF ANN over K-MEANS-REFINED centroids on the
+    clustered-geometry fixture — the production regime the random-vector
+    recall queries (q_embed_ann_recall) deliberately understate, measured
+    with the probe cost paid for it (VERDICT r3 ask #2).
+
+    Composition, all inside one oracle-paired statement: cemb (the
+    deterministic clustered fixture) -> fixed-round Lloyd's refinement of
+    the seeded centroid pool (_kmeans_chain) -> IVF probe/search with
+    per-query candidate counts (q_embed_ivf_ann_refined stats=True) -> exact
+    brute-force top-k on the same fixture -> one recall row. ``rounds=0``
+    degenerates to the UNREFINED seeded pool — registered as the ablation
+    twin, so refined-vs-seeded recall is a measured pair of numbers, not
+    prose. Output: recall_at_k, n_hit, n_true, worst_query_recall,
+    n_candidates (total vectors exactly scored across queries — the knob
+    cost, vs n_queries*(N-1) for brute force)."""
+    ann = q_embed_ivf_ann_refined(
+        d,
+        k=k,
+        n_queries=n_queries,
+        n_cells=n_cells,
+        rounds=rounds,
+        nprobe=nprobe,
+        source="cemb",
+        stats=True,
+    )
+    bf = q_embed_cosine_topk(d, k=k, n_queries=n_queries, source="cemb")
+    lead = clustered_embeddings_cte(d, n_clusters, blend) + ",\n"
+    return recall_with_cost_sql(d, ann, bf, lead_ctes=lead)
+
+
+def recall_with_cost_sql(d: D, ann_sql: str, bf_sql: str, lead_ctes: str = "") -> str:
+    """The shared recall@k + probe-cost tail: join an ANN top-k result
+    (columns query_id, neighbor_id, n_cand_q) against the exact top-k and
+    emit ONE row — recall, per-query worst case, and the total candidate
+    volume the ANN actually scored. The Spark runner feeds it literal-centroid
+    sub-queries over a materialized fixture view; the DuckDB oracle feeds it
+    the full in-SQL derivation (lead_ctes = the fixture CTE)."""
+    m = "" if d.spark else "MATERIALIZED "
+    return f"""
+WITH {lead_ctes}ann AS {m}({ann_sql}),
+bf AS {m}({bf_sql}),
+cand AS (
+  SELECT query_id, max(n_cand_q) AS n_cand FROM ann GROUP BY query_id
+),
+hits AS (
+  SELECT bf.query_id, count(ann.neighbor_id) AS n_hit, count(*) AS n_true
+  FROM bf LEFT JOIN ann
+    ON ann.query_id = bf.query_id AND ann.neighbor_id = bf.neighbor_id
+  GROUP BY bf.query_id
+)
+SELECT round(cast(sum(n_hit) as double) / sum(n_true), 6) AS recall_at_k,
+       {d.big('sum(n_hit)')} AS n_hit,
+       {d.big('sum(n_true)')} AS n_true,
+       round(min(cast(n_hit as double) / n_true), 6) AS worst_query_recall,
+       c.n_candidates
+FROM hits CROSS JOIN (
+  SELECT {d.big('sum(n_cand)')} AS n_candidates FROM cand
+) c
+GROUP BY c.n_candidates"""
 
 
 def q_tokenize_bpe(d: D) -> str:

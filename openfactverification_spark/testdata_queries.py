@@ -348,6 +348,50 @@ def q_embed_ivf_ann_refined_runner(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _clustered_recall_runner(nprobe: int, rounds: int):
+    """Spark side of embed_recall_clustered_*: recall@3 with probe cost on
+    the clustered-geometry fixture (dual.clustered_embeddings_cte), executed
+    the production way — the fixture is materialized ONCE (localCheckpoint +
+    temp view; the monolith re-executes it per CTE reference), the Lloyd's
+    refinement runs once and its (cells x dim) centroid matrix is collected
+    (the classic driver round-trip, not a data collect), and the IVF search +
+    exact baseline + recall tail run with the centroids as constant-folded
+    literals. The DuckDB oracle (dual.q_embed_ann_recall_clustered) re-derives
+    fixture, refinement AND search in one composed SQL, so the hash match
+    proves the whole collect-then-literal split is bit-identical to the
+    in-SQL derivation. rounds=0 = the unrefined seeded-pool ablation."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .functions import hashing as H
+
+        _register_views(spark, sf_dir)
+        n_cells = 16
+        cemb = spark.sql(
+            f"WITH {dual.clustered_embeddings_cte(_SPARK)} SELECT * FROM cemb"
+        ).localCheckpoint(eager=True)
+        cemb.createOrReplaceTempView("cemb")
+        if rounds:
+            rows = spark.sql(
+                dual.q_embed_kmeans_converged(
+                    _SPARK, n_cells=n_cells, rounds=rounds, source="cemb"
+                )
+            ).collect()
+            got = {(r["cell_id"], r["pos"]): r["centroid_val"] for r in rows}
+            cents = [
+                [got[(c, j)] for j in range(H.EMBED_DIM)] for c in range(n_cells)
+            ]
+        else:
+            cents = [list(row) for row in H.IVF_CENTROID_POOL[:n_cells]]
+        ann = dual.q_embed_ivf_ann(
+            _SPARK, k=3, n_queries=30, nprobe=nprobe, centroids=cents,
+            source="cemb", stats=True,
+        )
+        bf = dual.q_embed_cosine_topk(_SPARK, k=3, n_queries=30, source="cemb")
+        return spark.sql(dual.recall_with_cost_sql(_SPARK, ann, bf))
+
+    return run
+
+
 def q_snaplog_overwrite_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SnapLog table format (sources/snaplog.py) driven through the
     correctness gate: three versioned commits — append days < 16, append the
@@ -434,6 +478,12 @@ TESTDATA_QUERIES["embed_lsh_hi_stats"] = _planted_lsh_runner(0.90, 12, 8, output
 TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
 TESTDATA_QUERIES["snaplog_overwrite_daily"] = q_snaplog_overwrite_daily
 TESTDATA_QUERIES["embed_ivf_ann_refined"] = q_embed_ivf_ann_refined_runner
+# clustered-geometry recall family (r3 verdict #2): refined centroids reach
+# recall >= 0.9 at nprobe=1 and 1.0 at nprobe=2, with the paid candidate
+# volume in the same row; rounds=0 is the unrefined-seeded ablation
+TESTDATA_QUERIES["embed_recall_clustered_refined"] = _clustered_recall_runner(1, 2)
+TESTDATA_QUERIES["embed_recall_clustered_probe2"] = _clustered_recall_runner(2, 2)
+TESTDATA_QUERIES["embed_recall_clustered_seeded"] = _clustered_recall_runner(1, 0)
 
 TESTDATA_ORACLES: dict[str, str] = {name: b(_DUCK) for name, b in _DUAL_QUERIES.items()}
 TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
@@ -444,4 +494,13 @@ TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
 TESTDATA_ORACLES["snaplog_overwrite_daily"] = snaplog_overwrite_daily_oracle()
 TESTDATA_ORACLES["embed_ivf_ann_refined"] = dual.q_embed_ivf_ann_refined(
     _DUCK, k=3, n_queries=30, n_cells=8, rounds=3, nprobe=2
+)
+TESTDATA_ORACLES["embed_recall_clustered_refined"] = dual.q_embed_ann_recall_clustered(
+    _DUCK, nprobe=1, rounds=2
+)
+TESTDATA_ORACLES["embed_recall_clustered_probe2"] = dual.q_embed_ann_recall_clustered(
+    _DUCK, nprobe=2, rounds=2
+)
+TESTDATA_ORACLES["embed_recall_clustered_seeded"] = dual.q_embed_ann_recall_clustered(
+    _DUCK, nprobe=1, rounds=0
 )

@@ -86,3 +86,29 @@ def test_refined_centroids_feed_ivf_and_semdedup(spark):
     )
     assert joined.filter("abs(cosine - bf_cosine) > 1e-9").count() == 0
     spark.conf.set("spark.ofv.registered_sf", "")
+
+
+def test_clustered_recall_reaches_production_regime(spark):
+    """r3 verdict #2: on clustered geometry (the regime real embeddings live
+    in), IVF over k-means-REFINED centroids must reach recall@3 >= 0.9 at
+    nprobe=1 and 1.0 at nprobe=2 — and the refinement must beat the seeded
+    pool on BOTH recall and paid candidate volume, measured in-query."""
+    from openfactverification_spark import testdata_queries as tq
+
+    def one(name):
+        row = tq.TESTDATA_QUERIES[name](spark, SF).collect()[0]
+        spark.conf.set("spark.ofv.registered_sf", "")
+        return row
+
+    refined = one("embed_recall_clustered_refined")
+    probe2 = one("embed_recall_clustered_probe2")
+    seeded = one("embed_recall_clustered_seeded")
+
+    assert refined["recall_at_k"] >= 0.9, refined
+    assert probe2["recall_at_k"] == 1.0, probe2
+    # refinement buys recall AND cuts the probe cost at the same nprobe
+    assert refined["recall_at_k"] > seeded["recall_at_k"]
+    assert refined["n_candidates"] < seeded["n_candidates"]
+    # and the whole family stays far below brute force (n_queries * (N-1))
+    n_brute = 30 * 499
+    assert probe2["n_candidates"] < 0.2 * n_brute
