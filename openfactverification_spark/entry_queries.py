@@ -382,6 +382,24 @@ def q_pipeline_pii_scrubbed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 usage accounting joined to the hard gate (r3 verdict #7): the
+    pipeline's Observation counters (plans/pipeline.py observed_routed — the
+    reference's per-call usage metering,
+    /root/reference/factcheck/utils/llmclient/gpt_client.py:36-41) emitted as
+    (metric, value) rows. The metrics ride the job itself — ONE noop-sink
+    pass materializes them; no second aggregation scan — and the DuckDB twin
+    recomputes the same four counts from the routed relation, so the observe()
+    plumbing (not just the counts) is what parity certifies."""
+    from .plans.pipeline import observed_routed
+    from .sources.transcripts import transcripts_df
+
+    routed, obs = observed_routed(transcripts_df(spark, ORACLE_N_TURNS), spark)
+    routed.write.format("noop").mode("overwrite").save()
+    rows = sorted((k, int(v)) for k, v in obs.get.items())
+    return spark.createDataFrame(rows, "metric string, value bigint")
+
+
 PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_summary": q_pipeline_summary,
     "pipeline_summary_per_conv": q_pipeline_summary_per_conv,
@@ -404,6 +422,7 @@ PIPELINE_QUERIES: dict[str, QuerieFn] = {
     "pipeline_pii_scrubbed": q_pipeline_pii_scrubbed,
     "pipeline_training_pairs": q_pipeline_training_pairs,
     "pipeline_conv_docs": q_pipeline_conv_docs,
+    "pipeline_observe_metrics": q_pipeline_observe_metrics,
 }
 
 
@@ -460,6 +479,7 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     "embed_recall_clustered_refined",
     "embed_recall_clustered_probe2",
     "embed_recall_clustered_seeded",
+    "pipeline_observe_metrics",
 )
 
 

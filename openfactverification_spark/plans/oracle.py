@@ -209,6 +209,22 @@ SELECT conv_id, turn_idx, claim_idx, role, claim, checkworthy, reason,
 FROM routed WHERE record_kind = 'claim'""",
         "pipeline_routed_counts": f"""{ctes}
 SELECT route, COUNT(*)::BIGINT AS n FROM routed GROUP BY route""",
+        # twin of entry_queries.q_pipeline_observe_metrics: the observe()
+        # counter definitions restated over the routed relation, unpivoted to
+        # (metric, value). COALESCE mirrors the Spark-side coalesce(checkworthy,
+        # false) — non-claim records carry NULL checkworthy in both engines.
+        "pipeline_observe_metrics": f"""{ctes},
+m AS (
+  SELECT COUNT(*)::BIGINT AS n_records,
+         SUM((record_kind = 'claim')::INT)::BIGINT AS n_claims,
+         SUM(COALESCE(checkworthy, FALSE)::INT)::BIGINT AS n_checkworthy,
+         SUM((tool_status = 'error')::INT)::BIGINT AS n_tool_errors
+  FROM routed
+)
+SELECT 'n_checkworthy' AS metric, n_checkworthy AS value FROM m
+UNION ALL SELECT 'n_claims', n_claims FROM m
+UNION ALL SELECT 'n_records', n_records FROM m
+UNION ALL SELECT 'n_tool_errors', n_tool_errors FROM m""",
         "pipeline_parse_claims": f"""{ctes}
 SELECT conv_id, turn_idx, claim_idx, claim, span_start, span_end
 FROM records WHERE record_kind = 'claim'""",
