@@ -109,6 +109,97 @@ def bench_pipeline(spark, n_turns: int) -> tuple[float, int]:
     return sec, n_turns
 
 
+def bench_ingest_dedup_stream(
+    spark, sf_dir: str, n_batches: int = 4, maintain_every: int = 0
+) -> dict:
+    """Streaming ingest dedup over the SnapLog signature store (r3 verdict #3):
+    seed the store with one stratum of the documents table, then stream the
+    remaining strata as one-file micro-batches. Reports docs/sec, per-batch
+    durations (first vs last — the 100-TB question is whether per-batch cost
+    grows with store size), and final store size."""
+    import shutil
+    import tempfile
+
+    from openfactverification_spark.sources import snaplog
+    from openfactverification_spark.streaming import ingest_dedup
+
+    base = tempfile.mkdtemp(prefix="bench_ingest_")
+    store, out, ck, src = (os.path.join(base, d) for d in ("store", "out", "ck", "src"))
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+            "doc_id", "text"
+        )
+        n_strata = n_batches + 1
+        ingest_dedup.seed_store(spark, docs.filter(f"doc_id % {n_strata} = 0"), store)
+        n_streamed = 0
+        for i in range(1, n_strata):
+            part = docs.filter(f"doc_id % {n_strata} = {i}")
+            n_streamed += part.count()
+            part.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(docs.schema)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = ingest_dedup.run_ingest_dedup_stream(
+            spark, stream, store, out, ck, maintain_every=maintain_every
+        )
+        q.awaitTermination()
+        sec = time.perf_counter() - t0
+        batch_secs = [
+            p["batchDuration"] / 1000.0
+            for p in (json.loads(str(x)) for x in q.recentProgress)
+            if p.get("numInputRows", 0) > 0
+        ]
+        store_rows = snaplog.read(spark, f"{store}/sh").count()
+        return {
+            "sec": round(sec, 3),
+            "docs_per_sec": round(n_streamed / sec, 1),
+            "n_docs": n_streamed,
+            "n_batches": len(batch_secs),
+            "batch_sec_first": round(batch_secs[0], 3) if batch_secs else None,
+            "batch_sec_last": round(batch_secs[-1], 3) if batch_secs else None,
+            "store_shingle_rows": store_rows,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def bench_stream_sinks(spark, n_turns: int = 500_000) -> dict:
+    """Exactly-once SnapLog streaming sink vs the parquet overwrite sink
+    (r3 verdict #3/#5): the same routed stream, availableNow over a staged
+    parquet source, timed through each foreachBatch writer. The delta is the
+    snapshot-commit overhead on top of the identical data write."""
+    import shutil
+    import tempfile
+
+    from openfactverification_spark.streaming.pipeline import (
+        run_to_sinks_stream,
+        run_to_sinks_stream_snaplog,
+    )
+
+    base = tempfile.mkdtemp(prefix="bench_sinks_stream_")
+    src = os.path.join(base, "src")
+    try:
+        transcripts_df(spark, n_turns).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        out = {}
+        for name, runner in (
+            ("stream_sink_parquet", run_to_sinks_stream),
+            ("stream_sink_snaplog", run_to_sinks_stream_snaplog),
+        ):
+            sink_dir = os.path.join(base, name)
+            stream = spark.readStream.schema(schema).parquet(src)
+            t0 = time.perf_counter()
+            q = runner(spark, stream, sink_dir, os.path.join(sink_dir, "_ckpt"))
+            q.awaitTermination()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -147,6 +238,19 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {best:.2f}s", file=sys.stderr)
 
+    # streaming paths (r3 verdict #3): ingest dedup over the SnapLog store —
+    # plain and maintained (compaction visible) — and the exactly-once
+    # SnapLog sink vs the parquet overwrite sink
+    ingest = bench_ingest_dedup_stream(spark, sf_dir)
+    timings["ingest_dedup_stream"] = ingest["sec"]
+    print(f"  ingest_dedup_stream: {ingest}", file=sys.stderr)
+    ingest_m = bench_ingest_dedup_stream(spark, sf_dir, maintain_every=2)
+    timings["ingest_dedup_stream_maintained"] = ingest_m["sec"]
+    print(f"  ingest_dedup_stream_maintained: {ingest_m}", file=sys.stderr)
+    sinks = bench_stream_sinks(spark)
+    timings.update(sinks)
+    print(f"  stream sinks: {sinks}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_sec",
@@ -156,6 +260,12 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "turns_per_sec": round(n_turns / pipe_sec, 1),
         "pipe_turns": n_turns,
+        "ingest_dedup_docs_per_sec": ingest["docs_per_sec"],
+        "ingest_dedup_batch_sec_first_last": [
+            ingest["batch_sec_first"],
+            ingest["batch_sec_last"],
+        ],
+        "ingest_dedup_maintained_docs_per_sec": ingest_m["docs_per_sec"],
     }
     print(json.dumps(out))
     spark.stop()

@@ -98,3 +98,62 @@ def test_cli_ingest_dedup_mode(tmp_path, spark):
         for r in snaplog.read(spark, os.path.join(out, "store", "sh")).collect()
     }
     assert store_ids == {1, 4}
+
+
+def test_cli_resume_snaplog_sink(tmp_path, spark):
+    """--resume --snaplog-sink: the sink is a versioned SnapLog table with one
+    snapshot per epoch, and a re-invocation commits nothing new (r3 verdict
+    #5 — the SnapLog<->checkpoint<->CLI triangle driven end-to-end)."""
+    from openfactverification_spark.sources import snaplog
+
+    out = str(tmp_path / "rs")
+    first = _run("--out", out, "--resume", "--snaplog-sink", "--n-turns", N_TURNS)
+    assert first.returncode == 0, first.stderr[-2000:]
+    epochs = [ln for ln in first.stdout.splitlines() if ln.startswith("epoch ")]
+    assert epochs
+
+    table = os.path.join(out, "sinks")
+    assert snaplog.is_snaplog_table(spark, table)
+    hist = snaplog.history(spark, table)
+    assert len(hist) == len(epochs)  # one atomic snapshot per epoch
+    n_rows = snaplog.read(spark, table).count()
+    assert n_rows > 0
+    # every manifest entry records the sink snapshot it produced
+    mdir = os.path.join(out, "_manifest")
+    for e in os.listdir(mdir):
+        if e.endswith(".json") and not e.startswith("."):
+            with open(os.path.join(mdir, e)) as f:
+                assert json.load(f)["sink_snapshot"]
+
+    second = _run("--out", out, "--resume", "--snaplog-sink", "--n-turns", N_TURNS)
+    assert second.returncode == 0, second.stderr[-2000:]
+    assert not [ln for ln in second.stdout.splitlines() if ln.startswith("epoch ")]
+    assert len(snaplog.history(spark, table)) == len(hist)
+    assert snaplog.read(spark, table).count() == n_rows
+
+
+def test_cli_snaplog_sink_requires_supporting_mode(tmp_path):
+    """Plain batch mode writes parquet sinks directly; --snaplog-sink there
+    used to be silently ignored (ADVICE r3) — now it must error."""
+    proc = _run("--out", str(tmp_path / "b"), "--snaplog-sink", "--n-turns", N_TURNS)
+    assert proc.returncode != 0
+    assert "--snaplog-sink requires" in proc.stderr
+
+
+def test_cli_streaming_snaplog_sink(tmp_path, spark):
+    """--streaming --snaplog-sink drives run_to_sinks_stream_snaplog (was
+    unreachable from the CLI): exactly-once micro-batch commits with the
+    batch id in each snapshot summary."""
+    from openfactverification_spark.sources import snaplog
+    from openfactverification_spark.sources.transcripts import transcripts_df
+
+    src = str(tmp_path / "src")
+    transcripts_df(spark, int(N_TURNS)).write.parquet(src)
+    out = str(tmp_path / "out")
+    proc = _run("--streaming", "--snaplog-sink", "--input-parquet", src, "--out", out)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    table = os.path.join(out, "sinks")
+    assert snaplog.read(spark, table).count() > 0
+    assert all(
+        "stream_batch_id" in h["summary"] for h in snaplog.history(spark, table)
+    )

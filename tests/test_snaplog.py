@@ -399,3 +399,44 @@ def test_partition_filter_normalizes_python_types(spark, tmp_path):
     assert sorted(r["id"] for r in misses.collect()) == [2]
     # string form still accepted, any case
     assert snaplog.read(spark, t, partition_filter={"flag": "True"}).count() == 2
+
+
+def test_crash_mid_commit_leaves_no_torn_snapshot(spark, tmp_path, monkeypatch):
+    """Kill the writer at the _commit boundary — tmp payload written, rename
+    not reached (r3 verdict #5): the previous snapshot stays live, reads keep
+    working, and the retried commit converges to the same end state with no
+    torn v{N}.json ever visible."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 90), partition_cols=["day"])
+    head = snaplog.current_snapshot(spark, t)
+    orig = snaplog._Fs.create_exclusive
+
+    def dying(self, p, payload):
+        tmp = self.path_cls(p.getParent(), f".{p.getName()}.dying.tmp")
+        out = self.fs.create(tmp, False)
+        try:
+            out.write(bytearray(b'{"torn": '))
+        finally:
+            out.close()
+        raise RuntimeError("killed mid-commit")
+
+    monkeypatch.setattr(snaplog._Fs, "create_exclusive", dying)
+    replacement = _events(spark, 30, day_mod=1, tag="n")
+    with pytest.raises(RuntimeError, match="killed mid-commit"):
+        snaplog.overwrite_partitions(spark, t, replacement)
+    monkeypatch.setattr(snaplog._Fs, "create_exclusive", orig)
+
+    # nothing torn: head unchanged, table fully readable
+    assert snaplog.current_snapshot(spark, t)["snapshot_id"] == head["snapshot_id"]
+    assert snaplog.read(spark, t).count() == 90
+    log = tmp_path / "tbl" / "_snaplog"
+    assert not (log / "v2.json").exists()
+
+    # the retry converges: day 2024-01-01 replaced atomically, others intact
+    snap = snaplog.overwrite_partitions(spark, t, replacement)
+    assert snap["version"] == 2
+    assert _counts(snaplog.read(spark, t)) == {
+        "2024-01-01": 30, "2024-01-02": 30, "2024-01-03": 30,
+    }
+    day1 = snaplog.read(spark, t, partition_filter={"day": "2024-01-01"})
+    assert all(r["payload"].startswith("ne") for r in day1.collect())
