@@ -67,6 +67,7 @@ TESTDATA_BENCH = [
     "embed_neardup_planted_lsh",  # LSH in its real regime: p=8 x L=4, ~linear candidates
     "decontaminate_eval",  # 13-gram eval overlap: broadcast eval grams, hashed join keys
     "quality_perplexity",  # corpus-trained bigram LM: two hashed count aggs + model join
+    "embed_recall_clustered_refined",  # k-means-refined IVF recall@3 with measured probe cost
 ]
 
 
