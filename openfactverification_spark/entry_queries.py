@@ -480,6 +480,8 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     "embed_recall_clustered_probe2",
     "embed_recall_clustered_seeded",
     "pipeline_observe_metrics",
+    "embed_lsh_recall_multiprobe",
+    "embed_lsh_recall_multiprobe_clustered",
 )
 
 

@@ -1482,6 +1482,93 @@ SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
 FROM ranked WHERE rnk <= {k}"""
 
 
+def q_embed_lsh_ann_multiprobe(
+    d: D,
+    k: int = 3,
+    n_planes: int = 8,
+    n_queries: int = 30,
+    stats: bool = False,
+    source: str = "embeddings",
+) -> str:
+    """Multi-probe hyperplane-LSH ANN: each query searches its own bucket PLUS
+    every bucket at Hamming distance 1 (the n_planes single-bit flips) — the
+    classic multi-probe trade (Lv et al., VLDB'07): near-neighbors that fall
+    just across one hyperplane are recovered without building more tables.
+    Probe count is n_planes+1 of 2^n_planes buckets, so candidate volume
+    stays a small corpus fraction while recall climbs from the single-bucket
+    floor (q_embed_lsh_ann's measured 0.022 at 8 planes). The probe fan-out
+    is an explode over the planes sequence — candidate generation stays a
+    bucket equi-join, never all-pairs. ``stats=True`` adds the per-query
+    candidate count (n_cand_q) for recall_with_cost_sql."""
+    planes = H.HYPERPLANE_POOL[:n_planes]
+    cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    if d.spark:
+        flips = (
+            f"SELECT vec_id, {d.xor('bucket', 'shiftleft(1, j)')} AS probe\n"
+            f"  FROM qb LATERAL VIEW explode({d.seq(0, n_planes - 1)}) t AS j"
+        )
+    else:
+        flips = (
+            f"SELECT vec_id, {d.xor('bucket', '(1 << j.j)')} AS probe\n"
+            f"  FROM qb, (SELECT unnest(range(0, {n_planes})) AS j) j"
+        )
+    cand_col = (
+        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q" if stats else ""
+    )
+    cand_out = f",\n       {d.big('n_cand_q')} AS n_cand_q" if stats else ""
+    return f"""
+WITH {cosine_cte(d, source)},
+bucketed AS (
+  SELECT vec_id, embedding, nrm, {lsh_bucket_expr(d, planes=planes)} AS bucket
+  FROM nv
+),
+qb AS (
+  SELECT vec_id, bucket FROM bucketed WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT vec_id, bucket AS probe FROM qb
+  UNION ALL
+  {flips}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({cos}, 6) AS cosine
+  FROM probes p
+  JOIN bucketed c ON c.bucket = p.probe AND c.vec_id <> p.vec_id
+  JOIN nv q ON q.vec_id = p.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk{cand_col}
+  FROM scored
+)
+SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
+       cosine, cast(rnk as int) AS rnk{cand_out}
+FROM ranked WHERE rnk <= {k}"""
+
+
+def q_embed_lsh_recall_multiprobe(
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    n_planes: int = 8,
+    clustered: bool = False,
+) -> str:
+    """Measured recall@k of multi-probe LSH vs the exact top-k, with the paid
+    candidate volume in the same row — the single-table-LSH half of r3
+    verdict #4 (the IVF half is q_embed_ann_recall_clustered). Compare the
+    registered single-bucket floors: 0.022 at 8 planes, 0.167 at 4.
+    ``clustered=True`` runs both sides on the clustered-geometry fixture
+    (clustered_embeddings_cte) — the regime real embeddings live in."""
+    source = "cemb" if clustered else "embeddings"
+    ann = q_embed_lsh_ann_multiprobe(
+        d, k=k, n_planes=n_planes, n_queries=n_queries, stats=True, source=source
+    )
+    bf = q_embed_cosine_topk(d, k=k, n_queries=n_queries, source=source)
+    lead = clustered_embeddings_cte(d) + ",\n" if clustered else ""
+    return recall_with_cost_sql(d, ann, bf, lead_ctes=lead)
+
+
 # ======================================================================================
 # Relational operator coverage (TPC-H-ish; SURVEY §2.4-2.6 J/A/T families)
 # ======================================================================================

@@ -55,6 +55,14 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_lsh_recall_planes4": partial(
         dual.q_embed_ann_recall, method="lsh", n_planes=4
     ),
+    # multi-probe (Hamming-distance-1 buckets): recall 0.167 vs 0.022
+    # single-bucket at 8 planes on the adversarial random fixture, and 0.933
+    # at 8 planes on the clustered-geometry fixture — candidates measured
+    # in-row (recall_with_cost_sql)
+    "embed_lsh_recall_multiprobe": dual.q_embed_lsh_recall_multiprobe,
+    "embed_lsh_recall_multiprobe_clustered": partial(
+        dual.q_embed_lsh_recall_multiprobe, clustered=True
+    ),
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
     "embed_neardup_planted_lsh": dual.q_embed_neardup_planted_lsh,

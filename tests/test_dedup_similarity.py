@@ -503,3 +503,26 @@ def test_ann_recall_knobs_monotone(spark):
     assert lsh4 > lsh8 > 0
     # IVF at equal-ish candidate budgets beats single-table LSH here
     assert ivf2 > lsh4
+
+
+def test_multiprobe_lsh_recall_lift(spark):
+    """Multi-probe (Hamming-distance-1 buckets) must strictly beat the
+    single-bucket LSH at equal planes on BOTH fixtures, reach the production
+    regime (>= 0.9) on clustered geometry, and pay a candidate volume far
+    below brute force — all from the same measured rows (r3 verdict #4,
+    single-table-LSH half)."""
+    def row(**kw):
+        return spark.sql(
+            dual.q_embed_lsh_recall_multiprobe(_S, **kw)
+        ).collect()[0]
+
+    single8 = spark.sql(
+        dual.q_embed_ann_recall(_S, method="lsh")
+    ).collect()[0]["recall_at_k"]
+    mp8 = row()
+    assert mp8["recall_at_k"] > single8
+    mp8c = row(clustered=True)
+    assert mp8c["recall_at_k"] >= 0.9, mp8c
+    n_brute = 30 * 499
+    assert mp8["n_candidates"] < 0.1 * n_brute
+    assert mp8c["n_candidates"] < 0.15 * n_brute
