@@ -485,14 +485,65 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
 )
 
 
+def _driver_green_names() -> set[str]:
+    """Query names with at least one fully-green row in any committed
+    CORRECTNESS_r*.json — the auto-rotation signal. Returns an empty set when
+    no files are readable (fresh checkout), which falls back to the static
+    priority lists above."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, v in rows.items():
+            if (
+                v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match") in (True, None)
+                and not v.get("err")
+            ):
+                green.add(name)
+    return green
+
+
 def build_queries() -> dict[str, QuerieFn]:
+    """Registry in DRIVER-WINDOW priority order: queries without a green
+    driver row in any past round iterate first (the CORRECTNESS file is a
+    50-row prefix window — see COVERAGE.md §Round 4), so newly added or
+    still-unverified queries self-rotate into the window each round without
+    manual list edits. Within each class the static priority lists, then
+    registry insertion order, keep the iteration deterministic."""
     merged: dict[str, QuerieFn] = {}
     merged.update(PIPELINE_QUERIES)
     from .testdata_queries import TESTDATA_QUERIES
 
     merged.update(TESTDATA_QUERIES)
-    priority = _NEVER_DRIVER_GREEN_R3 + _ROUND4_PRIORITY
-    out: dict[str, QuerieFn] = {name: merged[name] for name in priority}
+    static = [n for n in _NEVER_DRIVER_GREEN_R3 + _ROUND4_PRIORITY if n in merged]
+    green = _driver_green_names()
+
+    out: dict[str, QuerieFn] = {}
+    if green:
+        # auto-rotation: never-green first (static priority among them first,
+        # then registry order), green after in registry order
+        for name in static:
+            if name not in green:
+                out[name] = merged[name]
+        for name, fn in merged.items():
+            if name not in out and name not in green:
+                out[name] = fn
+        for name, fn in merged.items():
+            if name not in out:
+                out[name] = fn
+        return out
+    for name in static:  # fresh checkout: static round-4 priority
+        out[name] = merged[name]
     for name, fn in merged.items():
         if name not in out:
             out[name] = fn
