@@ -163,3 +163,20 @@ def test_cms_sketch_aggregates_map_side(spark):
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     spark.conf.set("spark.ofv.registered_sf", "")
+
+
+def test_multiprobe_lsh_ann_plans_bucket_equi_join(spark):
+    """Multi-probe candidate generation must stay a bucket equi-join — the
+    probe fan-out (explode over single-bit flips) must not degrade the join
+    to a nested loop. (The registered *recall* queries embed the brute-force
+    baseline by design, so the guard targets the ANN side alone.)"""
+    from openfactverification_spark.operators import dual
+    from openfactverification_spark.sources.tables import TABLES
+
+    spark.read.parquet(table_path(SF_DIR, "embeddings")).createOrReplaceTempView(
+        "embeddings"
+    )
+    plan = _plan(spark.sql(dual.q_embed_lsh_ann_multiprobe(dual.D("spark"))))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
