@@ -222,7 +222,7 @@ def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
     and fall back to the previous version, so one torn write never bricks the
     table. Corruption BELOW a parseable head is not auto-healed — that is
     committed data damaged externally, and reads of it should raise."""
-    while True:
+    for _ in range(_COMMIT_RETRIES):
         vs = _versions(fs)
         if not vs:
             return None, []
@@ -236,6 +236,10 @@ def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
             )
             if not fs.fs.rename(src, dst):
                 fs.delete(src, False)
+            # loop: re-list (another reader may have quarantined it first)
+    raise CommitConflict(
+        f"could not quarantine corrupt head snapshot(s) on {fs.root}"
+    )
 
 
 def current_snapshot(spark: SparkSession, table: str) -> dict | None:
