@@ -1064,6 +1064,18 @@ def _dot_lit(d: D, col: str, vec: list[float]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _cand_stats(d: D, stats: bool) -> tuple[str, str]:
+    """(ranked-CTE window column, final-select projection) for the per-query
+    candidate count ``n_cand_q`` that recall_with_cost_sql consumes — one
+    definition for every ANN family's stats flag."""
+    if not stats:
+        return "", ""
+    return (
+        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q",
+        f",\n       {d.big('n_cand_q')} AS n_cand_q",
+    )
+
+
 def cosine_cte(d: D, source: str = "embeddings") -> str:
     """CTE `nv`: embeddings with precomputed L2 norm (norm once, not per pair).
     ``source`` swaps the vector table (e.g. the clustered-geometry fixture)."""
@@ -1512,10 +1524,7 @@ def q_embed_lsh_ann_multiprobe(
             f"SELECT vec_id, {d.xor('bucket', '(1 << j.j)')} AS probe\n"
             f"  FROM qb, (SELECT unnest(range(0, {n_planes})) AS j) j"
         )
-    cand_col = (
-        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q" if stats else ""
-    )
-    cand_out = f",\n       {d.big('n_cand_q')} AS n_cand_q" if stats else ""
+    cand_col, cand_out = _cand_stats(d, stats)
     return f"""
 WITH {cosine_cte(d, source)},
 bucketed AS (
@@ -1746,10 +1755,7 @@ def q_embed_ivf_ann(
             for i in range(n_cells)
         )
     cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
-    cand_col = (
-        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q" if stats else ""
-    )
-    cand_out = f",\n       {d.big('n_cand_q')} AS n_cand_q" if stats else ""
+    cand_col, cand_out = _cand_stats(d, stats)
     return f"""
 WITH {cosine_cte(d, source)},
 dvals AS (
@@ -2845,10 +2851,7 @@ def q_embed_ivf_ann_refined(
 )"""
     )
     body = ",\n".join(ctes)
-    cand_col = (
-        ",\n         count(*) OVER (PARTITION BY query_id) AS n_cand_q" if stats else ""
-    )
-    cand_out = f",\n       {d.big('n_cand_q')} AS n_cand_q" if stats else ""
+    cand_col, cand_out = _cand_stats(d, stats)
     return f"""
 WITH {body},
 assign AS (

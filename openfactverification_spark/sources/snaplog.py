@@ -117,16 +117,20 @@ class _Fs:
     def create_exclusive(self, p, payload: dict) -> bool:
         """Atomic create-no-overwrite; False when another writer won the race.
 
-        The payload is fully written to a TEMP name first and then renamed
-        into place, so a crash or I/O error mid-payload leaves only an
-        ignorable ``.tmp`` file — never a truncated ``v{N}.json`` that every
-        later read would choke on (the same tmp+rename discipline as
-        checkpoint._ManifestIO). Rename-without-overwrite is atomic on HDFS;
-        on the local FS the exists-recheck narrows the race to same-process
-        tests, and a loser that does slip through is caught by _head()'s
-        quarantine of an unparseable head."""
-        if self.fs.exists(p):
-            return False
+        The payload is fully written to a TEMP name first and then published
+        whole, so a crash or I/O error mid-payload leaves only an ignorable
+        ``.tmp`` file — never a truncated ``v{N}.json`` that every later read
+        would choke on (the same tmp+rename discipline as
+        checkpoint._ManifestIO). The publish step must BOTH be atomic and
+        refuse an existing destination (POSIX rename(2) silently REPLACES the
+        destination — publishing via plain rename would let a race loser
+        overwrite the winner's committed head):
+
+        * ``file://`` — hard-link the tmp into place (``link(2)`` fails with
+          EEXIST atomically; the one POSIX primitive with exactly these
+          semantics), then unlink the tmp;
+        * other filesystems (HDFS etc.) — rename-without-overwrite, which is
+          an atomic namespace operation there, behind an exists() recheck."""
         tmp = self.path_cls(
             p.getParent(), f".{p.getName()}.{uuid.uuid4().hex[:8]}.tmp"
         )
@@ -135,6 +139,22 @@ class _Fs:
             out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
+        if self.fs.getUri().getScheme() == "file":
+            jvm = self._jvm
+            try:
+                # java.io.File(...).toPath() because Paths.get is varargs,
+                # which py4j cannot dispatch
+                jvm.java.nio.file.Files.createLink(
+                    jvm.java.io.File(p.toUri().getPath()).toPath(),
+                    jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+                )
+            except Exception as e:  # FileAlreadyExistsException = lost race
+                self.fs.delete(tmp, False)
+                if "FileAlreadyExists" in str(e) or self.fs.exists(p):
+                    return False
+                raise
+            self.fs.delete(tmp, False)
+            return True
         if self.fs.exists(p) or not self.fs.rename(tmp, p):
             self.fs.delete(tmp, False)
             return False
@@ -215,6 +235,20 @@ def _load_snapshot(fs: _Fs, version: int) -> dict:
     return fs.read_json(fs.path(LOG_DIR, f"v{version}.json"))
 
 
+def _probe_snapshot(fs: _Fs, version: int) -> str:
+    """'valid' | 'corrupt' | 'missing' — a race-aware re-read used by the
+    quarantine path (a missing file means a peer already quarantined it; a
+    JVM I/O error other than not-found is treated as missing too, i.e. hands
+    off rather than risking a destructive action on a live head)."""
+    try:
+        _load_snapshot(fs, version)
+        return "valid"
+    except ValueError:
+        return "corrupt"
+    except Exception:
+        return "missing"
+
+
 def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
     """(newest parseable snapshot, live versions). An unparseable HEAD file can
     only be a crashed/raced writer's debris (committed heads land via
@@ -229,13 +263,25 @@ def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
         try:
             return _load_snapshot(fs, vs[-1]), vs
         except ValueError:  # json.JSONDecodeError subclasses ValueError
+            # Re-read before acting: another reader may have quarantined the
+            # torn file already AND a writer may have re-committed a VALID
+            # snapshot into the reclaimed slot — renaming/deleting without
+            # this check would destroy a committed head.
+            state = _probe_snapshot(fs, vs[-1])
+            if state == "valid":
+                return _load_snapshot(fs, vs[-1]), vs
+            if state == "missing":
+                continue  # peer already quarantined it; re-list
             src = fs.path(LOG_DIR, f"v{vs[-1]}.json")
             dst = fs.path_cls(
                 src.getParent(),
                 f"v{vs[-1]}.json.corrupt-{uuid.uuid4().hex[:8]}",
             )
             if not fs.fs.rename(src, dst):
-                fs.delete(src, False)
+                # rename failed: only delete if what is there NOW is still
+                # the unparseable debris (never a peer's re-committed head)
+                if _probe_snapshot(fs, vs[-1]) == "corrupt":
+                    fs.delete(src, False)
             # loop: re-list (another reader may have quarantined it first)
     raise CommitConflict(
         f"could not quarantine corrupt head snapshot(s) on {fs.root}"

@@ -76,10 +76,19 @@ def _pre_epoch_snapshot_id(spark: SparkSession, table: str, epoch: int) -> str |
     every accepted doc at jaccard 1.0 (dup_of_seen of itself) and reclassify
     the dup_in_batch docs. Pinning store reads to the pre-epoch snapshot
     makes the replay byte-identical to the first attempt. Returns None when
-    every snapshot carries this epoch (the store was empty before it)."""
-    for h in reversed(snaplog.history(spark, table)):
-        if h["summary"].get("ingest_epoch") != epoch:
-            return h["snapshot_id"]
+    every snapshot carries this epoch (the store was empty before it).
+
+    Walks the log NEWEST-FIRST and loads one snapshot JSON at a time: in the
+    common non-replay case the head already lacks the current epoch, so the
+    per-batch cost is one name listing + ONE small read — not the full-log
+    scan history() would do (that would quietly re-introduce the unbounded
+    per-batch driver I/O CommittedEpochs exists to eliminate; only a genuine
+    replay ever reads a second snapshot)."""
+    fs = snaplog._Fs(spark, table)
+    for v in reversed(snaplog._versions(fs)):
+        s = snaplog._load_snapshot(fs, v)
+        if s["summary"].get("ingest_epoch") != epoch:
+            return s["snapshot_id"]
     return None
 
 

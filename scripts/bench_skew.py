@@ -69,13 +69,18 @@ row = out.selectExpr(
 ).collect()[0]
 sec = time.perf_counter() - t0
 
-# straggler evidence: the largest row count one window task must hold
+# straggler evidence: the largest row count one window task must hold.
+# Both formulations window the per-(conv, turn) AGGREGATED frame (the
+# groupBy inside running_claim_count_*), so the state is one row per TURN —
+# counting raw records here would overstate it by the records-per-turn
+# factor.
+per_turn = records.groupBy("conv_id", "turn_idx").count()
 if variant == "naive":
     key = [F.col("conv_id")]
 else:
     key = [F.col("conv_id"), (F.col("turn_idx") / skew_ops.DEFAULT_BLOCK).cast("long")]
 max_task_rows = (
-    records.groupBy(*key).count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    per_turn.groupBy(*key).count().agg(F.max("count").alias("m")).collect()[0]["m"]
 )
 
 print(json.dumps({{

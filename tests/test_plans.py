@@ -171,7 +171,6 @@ def test_multiprobe_lsh_ann_plans_bucket_equi_join(spark):
     to a nested loop. (The registered *recall* queries embed the brute-force
     baseline by design, so the guard targets the ANN side alone.)"""
     from openfactverification_spark.operators import dual
-    from openfactverification_spark.sources.tables import TABLES
 
     spark.read.parquet(table_path(SF_DIR, "embeddings")).createOrReplaceTempView(
         "embeddings"
