@@ -482,6 +482,7 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
     "pipeline_observe_metrics",
     "embed_lsh_recall_multiprobe",
     "embed_lsh_recall_multiprobe_clustered",
+    "dedup_ensemble_components",
 )
 
 

@@ -576,19 +576,34 @@ FROM cand
 WHERE bit_count({d.xor('sim_a', 'sim_b')}) <= {max_hamming}"""
 
 
-def dedup_components_oracle() -> str:
+ENSEMBLE_MAX_HAMMING = 2  # tight simhash verdict for the multi-method union
+
+
+def dedup_components_oracle(ensemble: bool = False) -> str:
     """DuckDB-only oracle for dedup cluster assignment (operators/components.py):
     min-label transitive closure over the minhash-LSH pair graph as a recursive
     CTE — every doc's component id is the minimum doc_id reachable through
     near-dup pairs; the keeper is the component minimum (the dedup_exact
     keeper-by-min convention). The Spark side is the iterative label-propagation
-    loop; this is the same fixpoint written declaratively."""
+    loop; this is the same fixpoint written declaratively.
+
+    ``ensemble=True`` closes over the UNION of the minhash-LSH and
+    simhash-banded pair graphs — the multi-method dedup composition
+    (q_dedup_ensemble_components): methods catch different near-dup classes
+    (word-shingle jaccard vs weighted-feature hamming), and the union
+    components merge their verdicts into one keeper assignment. The simhash
+    side uses the tight hamming<=2 verdict threshold: an ensemble unions
+    PRECISE per-method verdicts (the loose <=6 default is a candidate
+    generator whose 20k+ pairs at sf0.01 make the closure a dense-graph
+    stress test, not a dedup assignment)."""
     d = D("duckdb")
-    pairs_sql = q_dedup_minhash_lsh(d)
+    pairs_sql = f"SELECT id_a, id_b FROM ({q_dedup_minhash_lsh(d)}\n) mh"
+    if ensemble:
+        sh = q_dedup_simhash_banded(d, max_hamming=ENSEMBLE_MAX_HAMMING)
+        pairs_sql += f"\n  UNION\n  SELECT id_a, id_b FROM ({sh}\n) sh"
     return f"""
 WITH RECURSIVE pairs AS (
-  SELECT id_a, id_b FROM ({pairs_sql}
-  ) p
+  {pairs_sql}
 ),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs

@@ -229,7 +229,9 @@ def incremental_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     return spark.sql(f"{s1}\nUNION ALL\n{s2}")
 
 
-def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_simhash_banded_runner(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
     """Spark execution of dedup_simhash_banded with the simhash sketch
     materialized ONCE (cached temp view): the banded self-join references `sim`
     twice and Spark inlines CTEs, so the inline form runs the word explode +
@@ -244,7 +246,9 @@ def q_dedup_simhash_banded_runner(spark: SparkSession, sf_dir: str) -> DataFrame
     sim.createOrReplaceTempView("sim_mat")
     return spark.sql(
         dual.q_dedup_simhash_banded(
-            _SPARK, sim_sql="SELECT doc_id, simhash FROM sim_mat"
+            _SPARK,
+            max_hamming=max_hamming,
+            sim_sql="SELECT doc_id, simhash FROM sim_mat",
         )
     )
 
@@ -315,6 +319,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_dedup_minhash_lsh_runner(spark, sf_dir)
     nodes = spark.table("documents").select("doc_id")
     return connected_components_star(nodes, pairs)
+
+
+def q_dedup_ensemble_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-method dedup: connected components over the UNION of the
+    minhash-LSH (word-shingle jaccard) and simhash-banded (weighted-feature
+    hamming, at the tight hamming<=ENSEMBLE_MAX_HAMMING verdict threshold)
+    pair graphs — the methods catch different near-dup classes, and the union
+    components merge their verdicts into one keeper assignment (the
+    composition production dedup actually ships: several cheap candidate
+    generators, one clustering). Both pair sources reuse their materialized-
+    sketch runners, the contraction is the O(log^2 n) large-star/small-star
+    path, and the DuckDB oracle re-derives both pair sets AND the closure in
+    one recursive CTE."""
+    from .operators.components import connected_components_star
+
+    pairs_mh = q_dedup_minhash_lsh_runner(spark, sf_dir).select("id_a", "id_b")
+    pairs_sh = q_dedup_simhash_banded_runner(
+        spark, sf_dir, max_hamming=dual.ENSEMBLE_MAX_HAMMING
+    ).select("id_a", "id_b")
+    nodes = spark.table("documents").select("doc_id")
+    return connected_components_star(nodes, pairs_mh.unionByName(pairs_sh))
 
 
 def q_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -479,6 +504,7 @@ TESTDATA_QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh_runner
 TESTDATA_QUERIES["dedup_incremental"] = q_dedup_incremental_runner
 TESTDATA_QUERIES["dedup_simhash_banded"] = q_dedup_simhash_banded_runner
 TESTDATA_QUERIES["dedup_components"] = q_dedup_components
+TESTDATA_QUERIES["dedup_ensemble_components"] = q_dedup_ensemble_components
 TESTDATA_QUERIES["dedup_ngram_spans"] = q_dedup_ngram_spans_runner
 TESTDATA_QUERIES["embed_neardup_planted_lsh"] = _planted_lsh_runner(0.98, 8, 4)
 TESTDATA_QUERIES["embed_dup_pairs_lsh_hi"] = _planted_lsh_runner(0.90, 12, 8)
@@ -498,6 +524,9 @@ TESTDATA_ORACLES["multimodal_bytes"] = multimodal_bytes_oracle()
 TESTDATA_ORACLES["multimodal_frames"] = multimodal_frames_oracle()
 TESTDATA_ORACLES["chunk_passages"] = dual.chunk_passages_oracle()
 TESTDATA_ORACLES["dedup_components"] = dual.dedup_components_oracle()
+TESTDATA_ORACLES["dedup_ensemble_components"] = dual.dedup_components_oracle(
+    ensemble=True
+)
 TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
 TESTDATA_ORACLES["snaplog_overwrite_daily"] = snaplog_overwrite_daily_oracle()
 TESTDATA_ORACLES["embed_ivf_ann_refined"] = dual.q_embed_ivf_ann_refined(

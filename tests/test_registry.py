@@ -33,9 +33,8 @@ def test_fresh_checkout_falls_back_to_static_priority(monkeypatch):
     monkeypatch.setattr(eq, "_driver_green_names", lambda: set())
     order = list(eq.build_queries())
     assert order[0] == "chunk_passages"
-    assert set(order[:41]) == set(
-        eq._NEVER_DRIVER_GREEN_R3 + eq._ROUND4_PRIORITY
-    )
+    static = eq._NEVER_DRIVER_GREEN_R3 + eq._ROUND4_PRIORITY
+    assert set(order[: len(static)]) == set(static)
 
 
 def test_current_window_covers_all_never_green():
