@@ -131,6 +131,11 @@ class _Fs:
           semantics), then unlink the tmp;
         * other filesystems (HDFS etc.) — rename-without-overwrite, which is
           an atomic namespace operation there, behind an exists() recheck."""
+        if self.fs.exists(p):
+            # non-authoritative fast path: skip serializing the full file
+            # listing to a doomed tmp when the slot is visibly taken (the
+            # link/rename below stays the real arbiter)
+            return False
         tmp = self.path_cls(
             p.getParent(), f".{p.getName()}.{uuid.uuid4().hex[:8]}.tmp"
         )
@@ -235,57 +240,25 @@ def _load_snapshot(fs: _Fs, version: int) -> dict:
     return fs.read_json(fs.path(LOG_DIR, f"v{version}.json"))
 
 
-def _probe_snapshot(fs: _Fs, version: int) -> str:
-    """'valid' | 'corrupt' | 'missing' — a race-aware re-read used by the
-    quarantine path (a missing file means a peer already quarantined it; a
-    JVM I/O error other than not-found is treated as missing too, i.e. hands
-    off rather than risking a destructive action on a live head)."""
-    try:
-        _load_snapshot(fs, version)
-        return "valid"
-    except ValueError:
-        return "corrupt"
-    except Exception:
-        return "missing"
-
-
 def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
-    """(newest parseable snapshot, live versions). An unparseable HEAD file can
-    only be a crashed/raced writer's debris (committed heads land via
-    tmp+rename, atomically whole): quarantine it to ``v{N}.json.corrupt-*``
-    and fall back to the previous version, so one torn write never bricks the
-    table. Corruption BELOW a parseable head is not auto-healed — that is
-    committed data damaged externally, and reads of it should raise."""
-    for _ in range(_COMMIT_RETRIES):
-        vs = _versions(fs)
-        if not vs:
-            return None, []
+    """(newest PARSEABLE snapshot, full version list). An unparseable log file
+    can only be a crashed writer's torn debris (committed snapshots publish
+    whole via link/rename in create_exclusive): it is SKIPPED, never renamed
+    or deleted — the next commit claims the next version number ABOVE it
+    (``vs[-1] + 1`` counts the torn slot), so the debris is inert dead weight
+    in the log. Skipping is the only race-free recovery: any destructive
+    quarantine is check-then-act against peers re-using the slot and can
+    delete a committed head; a skip cannot destroy anything. A file that
+    vanishes mid-read (peer GC) is treated the same as torn."""
+    vs = _versions(fs)
+    for v in reversed(vs):
         try:
-            return _load_snapshot(fs, vs[-1]), vs
+            return _load_snapshot(fs, v), vs
         except ValueError:  # json.JSONDecodeError subclasses ValueError
-            # Re-read before acting: another reader may have quarantined the
-            # torn file already AND a writer may have re-committed a VALID
-            # snapshot into the reclaimed slot — renaming/deleting without
-            # this check would destroy a committed head.
-            state = _probe_snapshot(fs, vs[-1])
-            if state == "valid":
-                return _load_snapshot(fs, vs[-1]), vs
-            if state == "missing":
-                continue  # peer already quarantined it; re-list
-            src = fs.path(LOG_DIR, f"v{vs[-1]}.json")
-            dst = fs.path_cls(
-                src.getParent(),
-                f"v{vs[-1]}.json.corrupt-{uuid.uuid4().hex[:8]}",
-            )
-            if not fs.fs.rename(src, dst):
-                # rename failed: only delete if what is there NOW is still
-                # the unparseable debris (never a peer's re-committed head)
-                if _probe_snapshot(fs, vs[-1]) == "corrupt":
-                    fs.delete(src, False)
-            # loop: re-list (another reader may have quarantined it first)
-    raise CommitConflict(
-        f"could not quarantine corrupt head snapshot(s) on {fs.root}"
-    )
+            continue
+        except Exception:
+            continue  # vanished mid-read
+    return None, vs
 
 
 def current_snapshot(spark: SparkSession, table: str) -> dict | None:
@@ -300,16 +273,32 @@ def current_snapshot_id(spark: SparkSession, table: str) -> str | None:
 
 
 def history(spark: SparkSession, table: str) -> list[dict]:
-    """All snapshots, oldest first: (version, snapshot_id, parent_id,
-    operation, summary) — the audit trail resume lineage points into."""
+    """All committed snapshots, oldest first: (version, snapshot_id,
+    parent_id, operation, summary) — the audit trail resume lineage points
+    into. Torn debris files (crashed writers) are skipped, matching _head."""
     fs = _Fs(spark, table)
     out = []
     for v in _versions(fs):
-        s = _load_snapshot(fs, v)
+        try:
+            s = _load_snapshot(fs, v)
+        except ValueError:
+            continue
         out.append(
             {k: s[k] for k in ("version", "snapshot_id", "parent_id", "operation", "summary")}
         )
     return out
+
+
+def snapshots_newest_first(spark: SparkSession, table: str):
+    """Lazily yield committed snapshots newest-first, skipping torn debris —
+    the O(1)-reads-in-the-common-case walk for callers that usually only need
+    the head (e.g. the streaming ingest-dedup pre-epoch pin)."""
+    fs = _Fs(spark, table)
+    for v in reversed(_versions(fs)):
+        try:
+            yield _load_snapshot(fs, v)
+        except ValueError:
+            continue
 
 
 def _write_data_files(
@@ -505,7 +494,10 @@ def rollback(spark: SparkSession, table: str, snapshot_id: str) -> dict:
     fs = _Fs(spark, table)
     target = None
     for v in _versions(fs):
-        s = _load_snapshot(fs, v)
+        try:
+            s = _load_snapshot(fs, v)
+        except ValueError:
+            continue  # torn debris
         if s["snapshot_id"] == snapshot_id:
             target = s
     if target is None:
@@ -532,7 +524,10 @@ def _resolve(fs: _Fs, snapshot_id: str | None, version: int | None) -> dict:
     if snapshot_id is None:
         return head
     for v in reversed(vs):
-        s = _load_snapshot(fs, v)
+        try:
+            s = _load_snapshot(fs, v)
+        except ValueError:
+            continue  # torn debris — cannot be the requested snapshot
         if s["snapshot_id"] == snapshot_id:
             return s
     raise ValueError(f"unknown snapshot_id {snapshot_id}")
@@ -689,10 +684,17 @@ def expire_snapshots(spark: SparkSession, table: str, keep_last: int = 1) -> dic
     keep, drop = vs[-keep_last:], vs[:-keep_last]
     live: set[str] = set()
     for v in keep:
-        live.update(f["path"] for f in _load_snapshot(fs, v)["files"])
+        try:
+            live.update(f["path"] for f in _load_snapshot(fs, v)["files"])
+        except ValueError:
+            continue  # torn debris names no files
     removed_files = 0
     for v in drop:
-        for f in _load_snapshot(fs, v)["files"]:
+        try:
+            dropped_files = _load_snapshot(fs, v)["files"]
+        except ValueError:
+            dropped_files = []  # torn debris: just remove the log file below
+        for f in dropped_files:
             if f["path"] not in live:
                 if fs.delete(fs.path(f["path"]), False):
                     removed_files += 1

@@ -78,15 +78,15 @@ def _pre_epoch_snapshot_id(spark: SparkSession, table: str, epoch: int) -> str |
     makes the replay byte-identical to the first attempt. Returns None when
     every snapshot carries this epoch (the store was empty before it).
 
-    Walks the log NEWEST-FIRST and loads one snapshot JSON at a time: in the
-    common non-replay case the head already lacks the current epoch, so the
-    per-batch cost is one name listing + ONE small read — not the full-log
-    scan history() would do (that would quietly re-introduce the unbounded
-    per-batch driver I/O CommittedEpochs exists to eliminate; only a genuine
-    replay ever reads a second snapshot)."""
-    fs = snaplog._Fs(spark, table)
-    for v in reversed(snaplog._versions(fs)):
-        s = snaplog._load_snapshot(fs, v)
+    Walks the log NEWEST-FIRST loading one snapshot JSON at a time
+    (snaplog.snapshots_newest_first, which also skips torn debris the way
+    every other read path does): in the common non-replay case the head
+    already lacks the current epoch, so the per-batch cost is one name
+    listing + ONE small read — not the full-log scan history() would do
+    (that would quietly re-introduce the unbounded per-batch driver I/O
+    CommittedEpochs exists to eliminate; only a genuine replay ever reads a
+    second snapshot)."""
+    for s in snaplog.snapshots_newest_first(spark, table):
         if s["summary"].get("ingest_epoch") != epoch:
             return s["snapshot_id"]
     return None

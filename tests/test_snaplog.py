@@ -353,10 +353,12 @@ def test_schema_evolution_type_change_rejected(spark, tmp_path):
         snaplog.append(spark, t, bad)
 
 
-def test_torn_head_write_is_quarantined_not_bricking(spark, tmp_path):
-    """A truncated v{N}.json (crashed writer mid-payload, pre-tmp+rename
-    debris) must not brick the table: _head() quarantines it, reads fall back
-    to the previous snapshot, and the next commit reclaims the version slot."""
+def test_torn_head_is_skipped_not_bricking(spark, tmp_path):
+    """A truncated v{N}.json (crashed writer mid-payload) must not brick the
+    table: every read path SKIPS it (no rename/delete — a destructive
+    quarantine could race a peer re-using the slot and destroy a committed
+    head), the head falls back to the previous snapshot, the next commit
+    claims the version ABOVE the debris, and history/expire tolerate it."""
     t = str(tmp_path / "tbl")
     snaplog.append(spark, t, _events(spark, 30, tag="a"), partition_cols=["day"])
     log = tmp_path / "tbl" / "_snaplog"
@@ -365,11 +367,17 @@ def test_torn_head_write_is_quarantined_not_bricking(spark, tmp_path):
     head = snaplog.current_snapshot(spark, t)
     assert head["version"] == 1
     assert snaplog.read(spark, t).count() == 30
-    # the torn file was moved aside, so v2 is free for the next commit
+    # the torn slot is never reclaimed: the next commit takes v3, the debris
+    # stays inert on disk and is invisible to history()
     s2 = snaplog.append(spark, t, _events(spark, 12, tag="b"))
-    assert s2["version"] == 2
+    assert s2["version"] == 3
     assert snaplog.read(spark, t).count() == 42
-    assert any(n.startswith("v2.json.corrupt-") for n in os.listdir(log))
+    assert [h["version"] for h in snaplog.history(spark, t)] == [1, 3]
+    assert (log / "v2.json").exists()  # untouched — nothing was destroyed
+    # expiry sweeps the debris' log file along with expired snapshots
+    snaplog.expire_snapshots(spark, t, keep_last=1)
+    assert not (log / "v2.json").exists()
+    assert snaplog.read(spark, t).count() == 42
 
 
 def test_commit_payload_lands_via_tmp_rename(spark, tmp_path):
