@@ -82,10 +82,27 @@ LOG_DIR = "_snaplog"
 DATA_DIR = "data"
 FORMAT_VERSION = 1
 _COMMIT_RETRIES = 10
+# Schemes with no atomic namespace rename: publish via create(overwrite=false)
+# — a conditional PUT — instead of tmp+rename (see create_exclusive).
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos"}
+)
 
 
 class CommitConflict(RuntimeError):
     """All optimistic-commit retries lost the race for the next version."""
+
+
+def _publish_strategy(scheme: str) -> str:
+    """How create_exclusive publishes the log entry for a filesystem scheme:
+    'link' (POSIX hard-link, atomic no-overwrite), 'put' (direct
+    create(overwrite=false) = conditional PUT — object stores have no atomic
+    rename), or 'rename' (HDFS-style atomic namespace rename)."""
+    if scheme == "file":
+        return "link"
+    if scheme in _OBJECT_STORE_SCHEMES:
+        return "put"
+    return "rename"
 
 
 class _Fs:
@@ -129,6 +146,13 @@ class _Fs:
         * ``file://`` — hard-link the tmp into place (``link(2)`` fails with
           EEXIST atomically; the one POSIX primitive with exactly these
           semantics), then unlink the tmp;
+        * object stores (s3a/s3/gs/abfs/...) — write the payload DIRECTLY via
+          ``create(p, overwrite=false)``: on these there is no atomic rename
+          (S3A rename is a non-atomic copy) and exists()+rename is
+          check-then-act, so two racing committers could both publish and one
+          would silently overwrite the other's head. ``create(overwrite=false)``
+          maps to a conditional PUT (the object materializes whole at close,
+          so no torn state is readable on a real object store);
         * other filesystems (HDFS etc.) — rename-without-overwrite, which is
           an atomic namespace operation there, behind an exists() recheck."""
         if self.fs.exists(p):
@@ -136,15 +160,29 @@ class _Fs:
             # listing to a doomed tmp when the slot is visibly taken (the
             # link/rename below stays the real arbiter)
             return False
+        body = bytearray(json.dumps(payload).encode("utf-8"))
+        strategy = _publish_strategy(self.fs.getUri().getScheme())
+        if strategy == "put":
+            try:
+                out = self.fs.create(p, False)  # conditional PUT
+            except Exception as e:
+                if "FileAlreadyExists" in str(e) or self.fs.exists(p):
+                    return False
+                raise
+            try:
+                out.write(body)
+            finally:
+                out.close()
+            return True
         tmp = self.path_cls(
             p.getParent(), f".{p.getName()}.{uuid.uuid4().hex[:8]}.tmp"
         )
         out = self.fs.create(tmp, False)
         try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+            out.write(body)
         finally:
             out.close()
-        if self.fs.getUri().getScheme() == "file":
+        if strategy == "link":
             jvm = self._jvm
             try:
                 # java.io.File(...).toPath() because Paths.get is varargs,
@@ -240,6 +278,36 @@ def _load_snapshot(fs: _Fs, version: int) -> dict:
     return fs.read_json(fs.path(LOG_DIR, f"v{version}.json"))
 
 
+def _is_not_found(e: Exception) -> bool:
+    """True when a Hadoop read failed because the file vanished between the
+    directory LIST and the open() — the signature of a concurrent
+    expire_snapshots sweeping an old log entry. Py4J wraps the Java
+    exception, so classification is by exception class name."""
+    je = getattr(e, "java_exception", None)
+    text = str(je) if je is not None else str(e)
+    return "FileNotFoundException" in text or "PathNotFoundException" in text
+
+
+def _load_snapshot_or_debris(fs: _Fs, version: int) -> dict | None:
+    """One log entry -> committed snapshot dict, or None when the entry is
+    unreadable for one of exactly two TOLERABLE reasons: torn debris from a
+    crashed writer (unparseable JSON — committed snapshots publish whole via
+    link/create-exclusive, so a partial body cannot be a committed state) or
+    vanished mid-read (a concurrent expire deleted it after we listed it).
+    Any OTHER exception — transient IO error, permission failure — re-raises:
+    treating those as "skip to an older snapshot" would let _commit build the
+    next version against a stale parent and silently drop the true head's
+    files (a lost update), so they must fail the operation instead."""
+    try:
+        return _load_snapshot(fs, version)
+    except ValueError:  # json.JSONDecodeError subclasses ValueError
+        return None
+    except Exception as e:
+        if _is_not_found(e):
+            return None
+        raise
+
+
 def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
     """(newest PARSEABLE snapshot, full version list). An unparseable log file
     can only be a crashed writer's torn debris (committed snapshots publish
@@ -249,15 +317,15 @@ def _head(fs: _Fs) -> tuple[dict | None, list[int]]:
     in the log. Skipping is the only race-free recovery: any destructive
     quarantine is check-then-act against peers re-using the slot and can
     delete a committed head; a skip cannot destroy anything. A file that
-    vanishes mid-read (peer GC) is treated the same as torn."""
+    vanishes mid-read (concurrent expire) is treated the same as torn; any
+    other read error re-raises (see _load_snapshot_or_debris — falling back
+    to an older snapshot on a transient IO error inside _commit would be a
+    silent lost update)."""
     vs = _versions(fs)
     for v in reversed(vs):
-        try:
-            return _load_snapshot(fs, v), vs
-        except ValueError:  # json.JSONDecodeError subclasses ValueError
-            continue
-        except Exception:
-            continue  # vanished mid-read
+        snap = _load_snapshot_or_debris(fs, v)
+        if snap is not None:
+            return snap, vs
     return None, vs
 
 
@@ -279,9 +347,8 @@ def history(spark: SparkSession, table: str) -> list[dict]:
     fs = _Fs(spark, table)
     out = []
     for v in _versions(fs):
-        try:
-            s = _load_snapshot(fs, v)
-        except ValueError:
+        s = _load_snapshot_or_debris(fs, v)
+        if s is None:
             continue
         out.append(
             {k: s[k] for k in ("version", "snapshot_id", "parent_id", "operation", "summary")}
@@ -295,10 +362,9 @@ def snapshots_newest_first(spark: SparkSession, table: str):
     the head (e.g. the streaming ingest-dedup pre-epoch pin)."""
     fs = _Fs(spark, table)
     for v in reversed(_versions(fs)):
-        try:
-            yield _load_snapshot(fs, v)
-        except ValueError:
-            continue
+        snap = _load_snapshot_or_debris(fs, v)
+        if snap is not None:
+            yield snap
 
 
 def _write_data_files(
@@ -494,10 +560,9 @@ def rollback(spark: SparkSession, table: str, snapshot_id: str) -> dict:
     fs = _Fs(spark, table)
     target = None
     for v in _versions(fs):
-        try:
-            s = _load_snapshot(fs, v)
-        except ValueError:
-            continue  # torn debris
+        s = _load_snapshot_or_debris(fs, v)
+        if s is None:
+            continue  # torn debris / expired mid-walk
         if s["snapshot_id"] == snapshot_id:
             target = s
     if target is None:
@@ -520,14 +585,19 @@ def _resolve(fs: _Fs, snapshot_id: str | None, version: int | None) -> dict:
     if version is not None:
         if version not in vs:
             raise ValueError(f"unknown version {version}")
-        return _load_snapshot(fs, version)
+        snap = _load_snapshot_or_debris(fs, version)
+        if snap is None:
+            raise ValueError(
+                f"version {version} is torn debris from a crashed writer, "
+                "not a committed snapshot"
+            )
+        return snap
     if snapshot_id is None:
         return head
     for v in reversed(vs):
-        try:
-            s = _load_snapshot(fs, v)
-        except ValueError:
-            continue  # torn debris — cannot be the requested snapshot
+        s = _load_snapshot_or_debris(fs, v)
+        if s is None:
+            continue  # torn debris / expired mid-walk — not the requested one
         if s["snapshot_id"] == snapshot_id:
             return s
     raise ValueError(f"unknown snapshot_id {snapshot_id}")
@@ -680,27 +750,49 @@ def expire_snapshots(spark: SparkSession, table: str, keep_last: int = 1) -> dic
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     fs = _Fs(spark, table)
-    vs = _versions(fs)
-    keep, drop = vs[-keep_last:], vs[:-keep_last]
+    # The keep window counts COMMITTED (parseable) snapshots only. Counting
+    # raw version numbers would let torn debris occupy keep slots: with
+    # committed v1 and a crashed writer's torn v2 at the log tail,
+    # keep_last=1 would keep only the debris (which names no files), delete
+    # v1's data files and log entry, and destroy the table. Debris is
+    # classified exactly as every read path does (_load_snapshot_or_debris).
+    committed: list[tuple[int, dict]] = []
+    debris: list[int] = []
+    for v in _versions(fs):
+        snap = _load_snapshot_or_debris(fs, v)
+        if snap is None:
+            debris.append(v)
+        else:
+            committed.append((v, snap))
+    keep, drop = committed[-keep_last:], committed[:-keep_last]
     live: set[str] = set()
-    for v in keep:
-        try:
-            live.update(f["path"] for f in _load_snapshot(fs, v)["files"])
-        except ValueError:
-            continue  # torn debris names no files
+    for _v, snap in keep:
+        live.update(f["path"] for f in snap["files"])
     removed_files = 0
-    for v in drop:
-        try:
-            dropped_files = _load_snapshot(fs, v)["files"]
-        except ValueError:
-            dropped_files = []  # torn debris: just remove the log file below
-        for f in dropped_files:
+    for v, snap in drop:
+        for f in snap["files"]:
             if f["path"] not in live:
                 if fs.delete(fs.path(f["path"]), False):
                     removed_files += 1
                 live.add(f["path"])  # only attempt each path once
         fs.delete(fs.path(LOG_DIR, f"v{v}.json"), False)
-    return {"expired_snapshots": len(drop), "deleted_files": removed_files}
+    # Debris log files are swept only when they sit strictly BELOW the oldest
+    # kept committed version: a torn slot above it could be a peer writer
+    # mid-publish on a filesystem where the payload materializes before the
+    # exclusive-create wins (and deleting it would be check-then-act against
+    # that peer); a torn slot below the kept range can never be claimed again
+    # (_commit always allocates above vs[-1]) so it is safely dead.
+    oldest_kept = keep[0][0] if keep else None
+    swept_debris = 0
+    for v in debris:
+        if oldest_kept is not None and v < oldest_kept:
+            if fs.delete(fs.path(LOG_DIR, f"v{v}.json"), False):
+                swept_debris += 1
+    return {
+        "expired_snapshots": len(drop),
+        "deleted_files": removed_files,
+        "swept_debris": swept_debris,
+    }
 
 
 def is_snaplog_table(spark: SparkSession, target: str) -> bool:

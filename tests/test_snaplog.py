@@ -448,3 +448,71 @@ def test_crash_mid_commit_leaves_no_torn_snapshot(spark, tmp_path, monkeypatch):
     }
     day1 = snaplog.read(spark, t, partition_filter={"day": "2024-01-01"})
     assert all(r["payload"].startswith("ne") for r in day1.collect())
+
+
+def test_expire_with_debris_at_tail_keeps_committed_head(spark, tmp_path):
+    """The r4-advice crash state: committed v1 + torn debris v2 at the log
+    TAIL, keep_last=1. The keep window must count committed snapshots only —
+    counting raw versions would keep only the debris (which names no files),
+    delete v1's data files and log entry, and destroy the table."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 30, tag="a"), partition_cols=["day"])
+    log = tmp_path / "tbl" / "_snaplog"
+    (log / "v2.json").write_text('{"version": 2, "files": [{"trunc')
+
+    res = snaplog.expire_snapshots(spark, t, keep_last=1)
+    assert res["expired_snapshots"] == 0
+    assert res["deleted_files"] == 0
+    # debris sits ABOVE the oldest kept committed version (could be a peer
+    # mid-publish) so it is NOT swept
+    assert res["swept_debris"] == 0
+    assert (log / "v1.json").exists()
+    assert (log / "v2.json").exists()
+    assert snaplog.read(spark, t).count() == 30  # table alive, not destroyed
+
+    # once a newer committed snapshot exists above it, the debris is dead
+    # weight below the keep window and IS swept
+    snaplog.append(spark, t, _events(spark, 12, tag="b"))
+    res2 = snaplog.expire_snapshots(spark, t, keep_last=1)
+    assert res2["expired_snapshots"] == 1  # v1
+    assert res2["swept_debris"] == 1  # v2 debris, now below kept v3
+    assert not (log / "v2.json").exists()
+    assert snaplog.read(spark, t).count() == 42
+
+
+def test_head_reraises_non_tolerable_read_errors(spark, tmp_path, monkeypatch):
+    """_head must tolerate ONLY torn JSON and vanished-mid-read: any other
+    error (transient IO, permissions) re-raises instead of silently falling
+    back to an older snapshot — inside _commit that fallback would build the
+    next version on a stale parent and silently drop the true head's files."""
+    t = str(tmp_path / "tbl")
+    snaplog.append(spark, t, _events(spark, 10, tag="a"), partition_cols=["day"])
+    snaplog.append(spark, t, _events(spark, 5, tag="b"))
+
+    orig = snaplog._Fs.read_json
+
+    def flaky(self, p):
+        if p.getName() == "v2.json":
+            raise OSError("transient I/O hiccup on true head")
+        return orig(self, p)
+
+    monkeypatch.setattr(snaplog._Fs, "read_json", flaky)
+    with pytest.raises(OSError, match="transient"):
+        snaplog.current_snapshot(spark, t)
+    # the commit path fails loudly too instead of committing data loss
+    with pytest.raises(OSError, match="transient"):
+        snaplog.append(spark, t, _events(spark, 3, tag="c"))
+    monkeypatch.setattr(snaplog._Fs, "read_json", orig)
+    assert snaplog.current_snapshot(spark, t)["version"] == 2
+    assert snaplog.read(spark, t).count() == 15
+
+
+def test_publish_strategy_per_scheme():
+    """Object stores (no atomic rename; exists()+rename is check-then-act and
+    S3A rename is a non-atomic copy) publish via create(overwrite=false) —
+    the conditional PUT — never via rename."""
+    assert snaplog._publish_strategy("file") == "link"
+    for s in ("s3a", "s3", "gs", "abfs", "abfss", "wasbs", "oss"):
+        assert snaplog._publish_strategy(s) == "put", s
+    assert snaplog._publish_strategy("hdfs") == "rename"
+    assert snaplog._publish_strategy("viewfs") == "rename"
