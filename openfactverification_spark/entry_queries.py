@@ -486,18 +486,45 @@ _ROUND4_PRIORITY: tuple[str, ...] = (
 )
 
 
-def _driver_green_names() -> set[str]:
-    """Query names with at least one fully-green row in any committed
-    CORRECTNESS_r*.json — the auto-rotation signal. Returns an empty set when
-    no files are readable (fresh checkout), which falls back to the static
-    priority lists above."""
+def _correctness_files() -> list[str]:
+    """Committed CORRECTNESS_r*.json paths, sorted. Pinned to `git ls-files`
+    so registry iteration order is reproducible from the committed tree alone
+    — an untracked or locally-edited CORRECTNESS file in a dirty checkout
+    must not change `queries()` ordering. Falls back to a plain glob where
+    git is unavailable (packaged --py-files zip run outside the repo)."""
     import glob
-    import json
     import os
+    import subprocess
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    green: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    try:
+        res = subprocess.run(
+            ["git", "-C", root, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if res.returncode == 0:
+            files = [os.path.join(root, ln) for ln in res.stdout.split() if ln]
+            return sorted(files)
+    except Exception:
+        pass
+    return sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def _last_green_round() -> dict[str, int]:
+    """name -> NEWEST round whose committed driver row is fully green, where
+    green is strict: rows_match, schema_match, and ``hash_match is True`` —
+    a row whose value hash never ran (None) is NOT green; its query stays at
+    the front of the window until the hash gate actually passes. Names absent
+    from the dict have never earned a strict-green driver row."""
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for path in _correctness_files():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -507,48 +534,42 @@ def _driver_green_names() -> set[str]:
             if (
                 v.get("rows_match")
                 and v.get("schema_match")
-                and v.get("hash_match") in (True, None)
+                and v.get("hash_match") is True
                 and not v.get("err")
             ):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _driver_green_names() -> set[str]:
+    """Query names with at least one strict-green committed driver row."""
+    return set(_last_green_round())
 
 
 def build_queries() -> dict[str, QuerieFn]:
-    """Registry in DRIVER-WINDOW priority order: queries without a green
-    driver row in any past round iterate first (the CORRECTNESS file is a
-    50-row prefix window — see COVERAGE.md §Round 4), so newly added or
-    still-unverified queries self-rotate into the window each round without
-    manual list edits. Within each class the static priority lists, then
-    registry insertion order, keep the iteration deterministic."""
+    """Registry in DRIVER-WINDOW priority order — rotation v2 (r4 verdict #2):
+    least-recently-verified first. Sort key per query: (newest strict-green
+    driver round, 0 for never-green; static priority rank; registry insertion
+    order). The CORRECTNESS file is a 50-row prefix window, so never-green
+    and new queries lead, and the rest re-earn a driver row round-robin —
+    with 107 queries every one is re-verified by the driver roughly every
+    3 rounds instead of draining a one-time backlog. Fresh checkout (no
+    committed CORRECTNESS files) degenerates to static-priority-then-registry
+    order via the same key."""
     merged: dict[str, QuerieFn] = {}
     merged.update(PIPELINE_QUERIES)
     from .testdata_queries import TESTDATA_QUERIES
 
     merged.update(TESTDATA_QUERIES)
     static = [n for n in _NEVER_DRIVER_GREEN_R3 + _ROUND4_PRIORITY if n in merged]
-    green = _driver_green_names()
-
-    out: dict[str, QuerieFn] = {}
-    if green:
-        # auto-rotation: never-green first (static priority among them first,
-        # then registry order), green after in registry order
-        for name in static:
-            if name not in green:
-                out[name] = merged[name]
-        for name, fn in merged.items():
-            if name not in out and name not in green:
-                out[name] = fn
-        for name, fn in merged.items():
-            if name not in out:
-                out[name] = fn
-        return out
-    for name in static:  # fresh checkout: static round-4 priority
-        out[name] = merged[name]
-    for name, fn in merged.items():
-        if name not in out:
-            out[name] = fn
-    return out
+    static_rank = {n: i for i, n in enumerate(static)}
+    reg_rank = {n: i for i, n in enumerate(merged)}
+    last = _last_green_round()
+    ordered = sorted(
+        merged,
+        key=lambda n: (last.get(n, 0), static_rank.get(n, len(static)), reg_rank[n]),
+    )
+    return {n: merged[n] for n in ordered}
 
 
 def build_oracle_sql() -> dict[str, str]:
