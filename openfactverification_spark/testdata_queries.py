@@ -484,6 +484,41 @@ SELECT day, count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM final GROUP BY day"""
 
 
+def q_ingest_dedup_stream_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-PRODUCED result through the correctness gate (r4 verdict #7):
+    replay the fixed micro-batch sequence of dedup_incremental (batch =
+    doc_id % 3; stratum 0 seeds the store, strata 1 and 2 arrive as two
+    availableNow runs over a file source, the second restarting from the
+    checkpoint) through the REAL streaming machinery — foreachBatch,
+    SnapLog signature store, per-epoch exactly-once commits — and return the
+    final ``out/status`` table. The DuckDB oracle is the batch operator's
+    own dedup_incremental template: the stream's END STATE must equal the
+    sequential batch computation row-for-row (stream ≡ batch, now
+    driver-hash-checked, not just pytest-pinned)."""
+    import shutil
+
+    from .sources import snaplog
+    from .streaming import ingest_dedup
+
+    base = f"/tmp/ofv_ingest_stream_q/{posixpath.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    store, out, ck, src = (posixpath.join(base, d) for d in ("store", "out", "ck", "src"))
+
+    docs = spark.read.parquet(table_path(sf_dir, "documents")).select("doc_id", "text")
+    ingest_dedup.seed_store(spark, docs.filter("doc_id % 3 = 0"), store)
+    for stratum in (1, 2):
+        docs.filter(f"doc_id % 3 = {stratum}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = ingest_dedup.run_ingest_dedup_stream(
+            spark, spark.readStream.schema(docs.schema).parquet(src), store, out, ck
+        )
+        q.awaitTermination(300)
+    return snaplog.read(spark, posixpath.join(out, "status")).select(
+        "doc_id", "batch_id", "status", "dup_of"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing into fixed-capacity context windows via ONE
     mapInPandas pass over source-partitioned streams (operators/packing.py).
@@ -510,6 +545,7 @@ TESTDATA_QUERIES["embed_neardup_planted_lsh"] = _planted_lsh_runner(0.98, 8, 4)
 TESTDATA_QUERIES["embed_dup_pairs_lsh_hi"] = _planted_lsh_runner(0.90, 12, 8)
 TESTDATA_QUERIES["embed_lsh_hi_stats"] = _planted_lsh_runner(0.90, 12, 8, output="stats")
 TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
+TESTDATA_QUERIES["ingest_dedup_stream_status"] = q_ingest_dedup_stream_status
 TESTDATA_QUERIES["snaplog_overwrite_daily"] = q_snaplog_overwrite_daily
 TESTDATA_QUERIES["embed_ivf_ann_refined"] = q_embed_ivf_ann_refined_runner
 # clustered-geometry recall family (r3 verdict #2): refined centroids reach
@@ -528,6 +564,7 @@ TESTDATA_ORACLES["dedup_ensemble_components"] = dual.dedup_components_oracle(
     ensemble=True
 )
 TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
+TESTDATA_ORACLES["ingest_dedup_stream_status"] = dual.q_dedup_incremental(_DUCK)
 TESTDATA_ORACLES["snaplog_overwrite_daily"] = snaplog_overwrite_daily_oracle()
 TESTDATA_ORACLES["embed_ivf_ann_refined"] = dual.q_embed_ivf_ann_refined(
     _DUCK, k=3, n_queries=30, n_cells=8, rounds=3, nprobe=2
