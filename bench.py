@@ -190,6 +190,82 @@ def bench_ingest_dedup_stream(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def synth_ingest_docs(spark, n: int, offset: int, batch_docs: int):
+    """Deterministic synthetic ingest corpus, generated JVM-side (no external
+    data): 40 hashed words per doc. Planted near-dups by doc_id class:
+    ids with id%100 < 6 copy the class-50 doc of the PREVIOUS batch with one
+    trailing word changed (a dup_of_seen hit against the store), ids with
+    6 <= id%100 < 12 copy the class-99 doc of their own batch (an
+    intra-batch near-dup pair). Target classes are natural/accepted docs, so
+    every batch exercises both the store-verify and intra-batch joins at
+    every store size."""
+    return spark.range(offset, offset + n).selectExpr(
+        "id AS doc_id",
+        f"""concat_ws(' ', transform(sequence(0, 39), i -> substr(sha2(cast(
+            (CASE WHEN id % 100 < 6 AND id >= {batch_docs}
+                    THEN id - {batch_docs} - (id % 100) + 50
+                  WHEN id % 100 >= 6 AND id % 100 < 12
+                    THEN id - (id % 100) + 99
+                  ELSE id END) * 40 +
+            (CASE WHEN id % 100 < 12 AND i = 39 THEN -1 ELSE i END)
+            AS string), 256), 1, 8))) AS text""",
+    )
+
+
+def bench_ingest_dedup_growth(
+    spark, batch_docs: int = 25_000, n_batches: int = 10
+) -> dict:
+    """Production-regime ingest-dedup measurement (r4 verdict #4): n_batches
+    micro-batches of batch_docs docs each (10x the bigbatch row) through the
+    same streaming path, reporting the per-batch growth curve — docs/s at the
+    first vs last batch and every per-batch duration, so 'fixed cost
+    amortizes' is a measured curve with the knee visible, not a two-point
+    extrapolation. The store grows by the accepted ~88% of each batch, so the
+    last batch verifies against a store ~n_batches times the first's."""
+    import shutil
+    import tempfile
+
+    from openfactverification_spark.sources import snaplog
+    from openfactverification_spark.streaming import ingest_dedup
+
+    base = tempfile.mkdtemp(prefix="bench_ingest_growth_")
+    store, out, ck, src = (os.path.join(base, d) for d in ("store", "out", "ck", "src"))
+    try:
+        ingest_dedup.seed_store(
+            spark, synth_ingest_docs(spark, batch_docs, 0, batch_docs), store
+        )
+        for b in range(1, n_batches + 1):
+            synth_ingest_docs(spark, batch_docs, b * batch_docs, batch_docs).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(spark.read.parquet(src).schema)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = ingest_dedup.run_ingest_dedup_stream(spark, stream, store, out, ck)
+        q.awaitTermination()
+        sec = time.perf_counter() - t0
+        batch_secs = [
+            round(p["batchDuration"] / 1000.0, 3)
+            for p in (json.loads(str(x)) for x in q.recentProgress)
+            if p.get("numInputRows", 0) > 0
+        ]
+        return {
+            "sec": round(sec, 3),
+            "batch_docs": batch_docs,
+            "n_batches": len(batch_secs),
+            "docs_per_sec": round(n_batches * batch_docs / sec, 1),
+            "docs_per_sec_first_batch": round(batch_docs / batch_secs[0], 1),
+            "docs_per_sec_last_batch": round(batch_docs / batch_secs[-1], 1),
+            "batch_secs": batch_secs,
+            "store_shingle_rows": snaplog.read(spark, f"{store}/sh").count(),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def bench_stream_sinks(spark, n_turns: int = 500_000) -> dict:
     """Exactly-once SnapLog streaming sink vs the parquet overwrite sink
     (r3 verdict #3/#5): the same routed stream, availableNow over a staged
@@ -294,6 +370,15 @@ def main() -> None:
     ingest_big = bench_ingest_dedup_stream(spark, sf_dir, n_batches=1)
     timings["ingest_dedup_stream_bigbatch"] = ingest_big["sec"]
     print(f"  ingest_dedup_stream_bigbatch: {ingest_big}", file=sys.stderr)
+    # production-regime growth curve (r4 verdict #4): 10 batches of 25k
+    # synthetic docs — 10x bigbatch, per-batch curve in the artifact
+    growth = bench_ingest_dedup_growth(
+        spark,
+        batch_docs=int(os.environ.get("BENCH_GROWTH_BATCH_DOCS", "25000")),
+        n_batches=int(os.environ.get("BENCH_GROWTH_BATCHES", "10")),
+    )
+    timings["ingest_dedup_growth"] = growth["sec"]
+    print(f"  ingest_dedup_growth: {growth}", file=sys.stderr)
     sinks = bench_stream_sinks(spark)
     timings.update(sinks)
     print(f"  stream sinks: {sinks}", file=sys.stderr)
@@ -332,6 +417,18 @@ def main() -> None:
         ],
         "ingest_dedup_maintained_docs_per_sec": ingest_m["docs_per_sec"],
         "ingest_dedup_bigbatch_docs_per_sec": ingest_big["docs_per_sec"],
+        "ingest_dedup_growth": {
+            k: growth[k]
+            for k in (
+                "batch_docs",
+                "n_batches",
+                "docs_per_sec",
+                "docs_per_sec_first_batch",
+                "docs_per_sec_last_batch",
+                "batch_secs",
+                "store_shingle_rows",
+            )
+        },
     }
     print(json.dumps(out))
     spark.stop()
