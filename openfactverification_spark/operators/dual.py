@@ -1593,6 +1593,131 @@ def q_embed_lsh_recall_multiprobe(
     return recall_with_cost_sql(d, ann, bf, lead_ctes=lead)
 
 
+def _probe_deltas(n_planes: int, radius: int) -> list[int]:
+    """All bucket-xor masks with popcount <= radius — the multi-probe set.
+    Rendered as INTEGER LITERALS in both dialects, so probe enumeration is
+    engine-identical by construction (no per-engine bit loops)."""
+    from itertools import combinations
+
+    deltas = [0]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            deltas.append(sum(1 << b for b in bits))
+    return deltas
+
+
+def q_embed_lsh_ann_mt_multiprobe(
+    d: D,
+    k: int = 3,
+    planes_per_table: int = 8,
+    n_tables: int = 4,
+    radius: int = 1,
+    n_queries: int = 30,
+    stats: bool = False,
+    source: str = "embeddings",
+) -> str:
+    """The FULL LSH search dial — (planes x tables x probes) in one template
+    (r4 verdict #6): every query probes, in each of the L independent plane
+    tables, its own bucket plus every bucket within Hamming distance
+    ``radius`` (Lv et al., VLDB'07 multi-probe, composed with the classic
+    multi-table OR-amplification). Per-neighbor miss probability at angle
+    theta is (1 - P(Hamming<=radius))^L with per-plane agreement q = 1 -
+    theta/pi, so recall climbs in L and radius while candidate volume grows
+    ~L * probes * N / 2^p — the whole tradeoff surface this builder sweeps.
+
+    Candidates are DEDUPLICATED across tables and probes before scoring
+    (SELECT DISTINCT), so n_cand_q counts vectors actually cosine-scored —
+    the honest paid cost a sweep must report. Buckets come from
+    planted_buckets_sql: loop-form codegen-safe expressions on Spark, the
+    relational (tbl, j, w) VALUES form on DuckDB, bit-identical."""
+    deltas = _probe_deltas(planes_per_table, radius)
+    delta_list = ", ".join(str(x) for x in deltas)
+    if d.spark:
+        delta_join = f"LATERAL VIEW explode(array({delta_list})) t AS delta"
+    else:
+        delta_join = f"CROSS JOIN (SELECT unnest([{delta_list}]) AS delta) t"
+    cos = f"{_dot(d, 'q.embedding', 'c.embedding')} / (q.nrm * c.nrm)"
+    cand_col, cand_out = _cand_stats(d, stats)
+    return f"""
+WITH {cosine_cte(d, source)},
+bk AS ({planted_buckets_sql(d, planes_per_table, n_tables, "nv")}),
+qb AS (
+  SELECT vec_id, tbl, bucket FROM bk WHERE vec_id < {n_queries}
+),
+probes AS (
+  SELECT vec_id, tbl, {d.xor('bucket', 'delta')} AS probe
+  FROM qb {delta_join}
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS cand_id
+  FROM probes p
+  JOIN bk c ON c.tbl = p.tbl AND c.bucket = p.probe AND c.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.cand_id AS neighbor_id,
+         round({cos}, 6) AS cosine
+  FROM cand
+  JOIN nv q ON q.vec_id = cand.query_id
+  JOIN nv c ON c.vec_id = cand.cand_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk{cand_col}
+  FROM scored
+)
+SELECT {d.big('query_id')} AS query_id, {d.big('neighbor_id')} AS neighbor_id,
+       cosine, cast(rnk as int) AS rnk{cand_out}
+FROM ranked WHERE rnk <= {k}"""
+
+
+def q_embed_lsh_recall_mt_multiprobe(
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    planes_per_table: int = 8,
+    n_tables: int = 4,
+    radius: int = 1,
+) -> str:
+    """Measured recall@k + paid candidate volume of the full
+    (planes x tables x probes) LSH dial on the adversarial RANDOM fixture —
+    the sweep rows that close (or honestly bound) the random-geometry gap
+    (r4 verdict #6). Single-table radius-1 floor for comparison:
+    embed_lsh_recall_multiprobe's 0.167 at 8 planes."""
+    ann = q_embed_lsh_ann_mt_multiprobe(
+        d,
+        k=k,
+        planes_per_table=planes_per_table,
+        n_tables=n_tables,
+        radius=radius,
+        n_queries=n_queries,
+        stats=True,
+    )
+    bf = q_embed_cosine_topk(d, k=k, n_queries=n_queries)
+    return recall_with_cost_sql(d, ann, bf)
+
+
+def q_embed_ann_recall_refined(
+    d: D,
+    k: int = 3,
+    n_queries: int = 30,
+    n_cells: int = 8,
+    rounds: int = 3,
+    nprobe: int = 2,
+) -> str:
+    """Recall@k of IVF over K-MEANS-REFINED centroids on the RANDOM fixture —
+    multi-probe composed with refined centroids where the geometry gives the
+    refinement nothing to find (the other half of r4 verdict #6; the
+    clustered twin q_embed_ann_recall_clustered measures the regime real
+    embeddings live in). Candidate volume is nprobe/n_cells of the corpus by
+    construction — sublinear and measured in-row."""
+    ann = q_embed_ivf_ann_refined(
+        d, k=k, n_queries=n_queries, n_cells=n_cells, rounds=rounds,
+        nprobe=nprobe, stats=True,
+    )
+    bf = q_embed_cosine_topk(d, k=k, n_queries=n_queries)
+    return recall_with_cost_sql(d, ann, bf)
+
+
 # ======================================================================================
 # Relational operator coverage (TPC-H-ish; SURVEY §2.4-2.6 J/A/T families)
 # ======================================================================================

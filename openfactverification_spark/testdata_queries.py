@@ -63,6 +63,21 @@ _DUAL_QUERIES: dict[str, Callable[[D], str]] = {
     "embed_lsh_recall_multiprobe_clustered": partial(
         dual.q_embed_lsh_recall_multiprobe, clustered=True
     ),
+    # (planes x tables x probes) sweep on the RANDOM fixture (r4 verdict #6):
+    # the >=0.9-recall configuration (0.933 recall@3 at 49% of brute-force
+    # candidate volume at sf0.01; 0.967 at sf0.1) ...
+    "embed_lsh_recall_mt": partial(
+        dual.q_embed_lsh_recall_mt_multiprobe,
+        planes_per_table=10, n_tables=12, radius=2,
+    ),
+    # ... and the sublinear-candidates point of the measured tradeoff curve
+    # (~20% of brute force; recall 0.556 at sf0.01 rising to 0.811 at sf0.1
+    # as true neighbors move closer) — the documented bound: on random
+    # geometry recall >=0.9 costs ~half of brute force, BENCH.md "ANN sweep"
+    "embed_lsh_recall_mt_sparse": partial(
+        dual.q_embed_lsh_recall_mt_multiprobe,
+        planes_per_table=12, n_tables=10, radius=2,
+    ),
     "embed_dup_pairs": dual.q_embed_dup_pairs,
     "embed_dup_pairs_lsh": dual.q_embed_dup_pairs_lsh,
     "embed_neardup_planted_lsh": dual.q_embed_neardup_planted_lsh,
@@ -425,6 +440,32 @@ def _clustered_recall_runner(nprobe: int, rounds: int):
     return run
 
 
+def _random_recall_refined_runner(n_cells: int, nprobe: int, rounds: int):
+    """Spark side of embed_recall_random_refined: recall@3 + probe cost of
+    IVF over k-means-REFINED centroids on the adversarial RANDOM fixture
+    (r4 verdict #6's refined-centroids half), executed the production way —
+    Lloyd's refinement collected as the (cells x dim) centroid matrix (the
+    classic driver round-trip), search with constant-folded literals. Same
+    collect-then-literal split as _clustered_recall_runner, no fixture CTE."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .functions import hashing as H
+
+        _register_views(spark, sf_dir)
+        rows = spark.sql(
+            dual.q_embed_kmeans_converged(_SPARK, n_cells=n_cells, rounds=rounds)
+        ).collect()
+        got = {(r["cell_id"], r["pos"]): r["centroid_val"] for r in rows}
+        cents = [[got[(c, j)] for j in range(H.EMBED_DIM)] for c in range(n_cells)]
+        ann = dual.q_embed_ivf_ann(
+            _SPARK, k=3, n_queries=30, nprobe=nprobe, centroids=cents, stats=True
+        )
+        bf = dual.q_embed_cosine_topk(_SPARK, k=3, n_queries=30)
+        return spark.sql(dual.recall_with_cost_sql(_SPARK, ann, bf))
+
+    return run
+
+
 def q_snaplog_overwrite_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SnapLog table format (sources/snaplog.py) driven through the
     correctness gate: three versioned commits — append days < 16, append the
@@ -546,6 +587,9 @@ TESTDATA_QUERIES["embed_dup_pairs_lsh_hi"] = _planted_lsh_runner(0.90, 12, 8)
 TESTDATA_QUERIES["embed_lsh_hi_stats"] = _planted_lsh_runner(0.90, 12, 8, output="stats")
 TESTDATA_QUERIES["pack_sequences"] = q_pack_sequences
 TESTDATA_QUERIES["ingest_dedup_stream_status"] = q_ingest_dedup_stream_status
+TESTDATA_QUERIES["embed_recall_random_refined"] = _random_recall_refined_runner(
+    n_cells=8, nprobe=4, rounds=3
+)
 TESTDATA_QUERIES["snaplog_overwrite_daily"] = q_snaplog_overwrite_daily
 TESTDATA_QUERIES["embed_ivf_ann_refined"] = q_embed_ivf_ann_refined_runner
 # clustered-geometry recall family (r3 verdict #2): refined centroids reach
@@ -565,6 +609,9 @@ TESTDATA_ORACLES["dedup_ensemble_components"] = dual.dedup_components_oracle(
 )
 TESTDATA_ORACLES["pack_sequences"] = dual.pack_sequences_oracle()
 TESTDATA_ORACLES["ingest_dedup_stream_status"] = dual.q_dedup_incremental(_DUCK)
+TESTDATA_ORACLES["embed_recall_random_refined"] = dual.q_embed_ann_recall_refined(
+    _DUCK, n_cells=8, nprobe=4, rounds=3
+)
 TESTDATA_ORACLES["snaplog_overwrite_daily"] = snaplog_overwrite_daily_oracle()
 TESTDATA_ORACLES["embed_ivf_ann_refined"] = dual.q_embed_ivf_ann_refined(
     _DUCK, k=3, n_queries=30, n_cells=8, rounds=3, nprobe=2
