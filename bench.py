@@ -312,15 +312,24 @@ def main() -> None:
     # production scale, so the headline measures steady-state throughput.
     bench_pipeline(spark, 50_000)
 
-    # One-time compute-only probe (noop sink): the parse->enrich->route DAG
-    # without the parquet sink, so the artifact itself carries the
-    # write-vs-compute split (r4 verdict #1b).
+    # Compute-only probe (noop sink): the parse->enrich->route DAG without
+    # the parquet sink, so the artifact itself carries the write-vs-compute
+    # split (r4 verdict #1b). Phase-guarded like the headline: a single early
+    # sample can land in a slow VM phase and print a NEGATIVE write cost
+    # (noop > compute+write, which is impossible on quiet hardware), so the
+    # probe is re-sampled after the headline minimum is known (below).
     n_turns = PIPE_TURNS
-    t0 = time.perf_counter()
-    build_pipeline(spark, transcripts_df(spark, n_turns)).routed.write.format(
-        "noop"
-    ).mode("overwrite").save()
-    compute_noop_sec = round(time.perf_counter() - t0, 3)
+    noop_samples: list[float] = []
+
+    def _noop_sample() -> None:
+        t0 = time.perf_counter()
+        build_pipeline(spark, transcripts_df(spark, n_turns)).routed.write.format(
+            "noop"
+        ).mode("overwrite").save()
+        noop_samples.append(round(time.perf_counter() - t0, 3))
+        print(f"  compute_noop sample: {noop_samples[-1]}s", file=sys.stderr)
+
+    _noop_sample()
 
     # Headline protocol (r4 verdict #1a): >=4 samples SPREAD ACROSS the whole
     # bench run, not back-to-back — this VM's slow phases last minutes
@@ -388,6 +397,12 @@ def main() -> None:
         _pipe_sample()  # samples straddled a phase boundary — buy one more
     best = min(pipe_samples, key=lambda s: s["sec"])
     pipe_sec = best["sec"]
+    # Split phase-guard: compute alone cannot cost more than compute+write;
+    # if it does, the early noop sample was phase-polluted — resample now
+    # (up to twice) and report the minimum.
+    while min(noop_samples) > best["compute_and_write_sec"] and len(noop_samples) < 3:
+        _noop_sample()
+    compute_noop_sec = min(noop_samples)
     print(f"  pipeline_e2e: {pipe_sec:.1f}s (min of {len(pipe_samples)})", file=sys.stderr)
     timings["pipeline_e2e"] = pipe_sec
 
@@ -404,6 +419,7 @@ def main() -> None:
         "pipeline_e2e_bw_probe_gbps": [s["bw_probe_gbps"] for s in pipe_samples],
         "pipeline_e2e_split": {
             "compute_noop_sec": compute_noop_sec,
+            "compute_noop_samples": noop_samples,
             "compute_and_write_sec": best["compute_and_write_sec"],
             "sink_write_over_compute_sec": round(
                 best["compute_and_write_sec"] - compute_noop_sec, 3
